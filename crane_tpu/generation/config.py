@@ -1,0 +1,48 @@
+"""Generation configuration, mirroring the reference's GenerationConfig
+(/root/reference/crane-core/src/generation/mod.rs:64-108)."""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass
+class GenerationConfig:
+    max_new_tokens: int = 512
+    temperature: float = 0.7
+    top_k: int = 0  # 0 = disabled; capped at 64 in-graph like the reference
+    top_p: float = 1.0
+    repetition_penalty: float = 1.0
+    repeat_last_n: int = 64
+    do_sample: bool = False
+    pad_token_id: int | None = None
+    eos_token_ids: tuple[int, ...] = ()
+    seed: int = 0
+    report_speed: bool = False
+    # Qwen chat templates: None lets the template default win (rendered as
+    # jinja UNDEFINED — reference autotokenizer.rs:500-506)
+    enable_thinking: bool | None = None
+
+    @staticmethod
+    def greedy(max_new_tokens: int = 512, **kw) -> "GenerationConfig":
+        return GenerationConfig(max_new_tokens=max_new_tokens, do_sample=False, **kw)
+
+
+@dataclasses.dataclass
+class SpeechOptions:
+    """TTS options (reference generation/mod.rs:5-40)."""
+
+    voice: str | None = None
+    language: str | None = None
+    speed: float = 1.0
+    max_new_tokens: int = 2048
+    seed: int = 0
+
+
+@dataclasses.dataclass
+class TranscribeOptions:
+    """ASR options — greedy by default (reference generation/mod.rs:41-62)."""
+
+    language: str | None = None
+    context: str | None = None
+    max_new_tokens: int = 448

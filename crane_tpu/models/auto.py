@@ -1,0 +1,186 @@
+"""Model auto-detection + HF checkpoint loading.
+
+Reference behavior: crane-serve's model_factory detects the family from
+config.json ``model_type`` -> ``architectures`` -> GGUF header -> path
+heuristics (/root/reference/crane-serve/src/engine/model_factory.rs:144-304).
+Here config.json is authoritative; GGUF detection lives in the GGUF loader.
+
+Weight mapping: HF transformer checkpoints store linear weights ``[out, in]``;
+we store ``[in, out]`` so the forward is ``x @ w`` (row-major activations
+against the 128-lane axis — the natural MXU layout).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from crane_tpu.models.causal_lm import CausalLM
+from crane_tpu.models.modules.transformer import TransformerConfig
+
+
+def read_json(path: str) -> dict:
+    with open(path) as f:
+        return json.load(f)
+
+
+def load_hf_config(model_dir: str) -> dict:
+    return read_json(os.path.join(model_dir, "config.json"))
+
+
+def transformer_config_from_hf(hf: dict) -> TransformerConfig:
+    """Map an HF config.json dict to a TransformerConfig.
+
+    Supported model_types (dense decoder families of the reference zoo §2.5):
+    qwen2 (Qwen2.5 — attn bias, no QK-norm), qwen3, llama, and
+    hunyuan-dense-style configs that follow the llama schema.
+    """
+    mt = hf.get("model_type", "llama")
+    hidden = hf["hidden_size"]
+    heads = hf["num_attention_heads"]
+    head_dim = hf.get("head_dim") or hidden // heads
+    common: dict[str, Any] = dict(
+        vocab_size=hf["vocab_size"],
+        hidden_size=hidden,
+        num_layers=hf["num_hidden_layers"],
+        num_heads=heads,
+        num_kv_heads=hf.get("num_key_value_heads", heads),
+        head_dim=head_dim,
+        intermediate_size=hf["intermediate_size"],
+        rms_norm_eps=hf.get("rms_norm_eps", 1e-6),
+        rope_theta=hf.get("rope_theta", 10000.0),
+        max_position_embeddings=hf.get("max_position_embeddings", 32768),
+        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+    )
+    if mt == "qwen2":
+        return TransformerConfig(attn_bias=True, qk_norm=False, **common)
+    if mt == "qwen3":
+        return TransformerConfig(attn_bias=False, qk_norm=True, **common)
+    if mt in ("llama", "mistral"):
+        return TransformerConfig(
+            attn_bias=hf.get("attention_bias", False), qk_norm=False, **common
+        )
+    raise ValueError(f"unsupported model_type for dense causal LM: {mt!r}")
+
+
+def _t(w, dtype):
+    """HF [out, in] linear weight -> [in, out]."""
+    return jnp.asarray(np.asarray(w).T, dtype=dtype)
+
+
+def _a(w, dtype):
+    return jnp.asarray(np.asarray(w), dtype=dtype)
+
+
+def map_hf_weights(cfg: TransformerConfig, sd: dict, dtype=jnp.bfloat16) -> dict:
+    """Map an HF llama/qwen-style state dict to the crane_tpu param tree."""
+    p = "model."
+    layers = []
+    for i in range(cfg.num_layers):
+        lp = f"{p}layers.{i}."
+        attn = {
+            "wq": _t(sd[lp + "self_attn.q_proj.weight"], dtype),
+            "wk": _t(sd[lp + "self_attn.k_proj.weight"], dtype),
+            "wv": _t(sd[lp + "self_attn.v_proj.weight"], dtype),
+            "wo": _t(sd[lp + "self_attn.o_proj.weight"], dtype),
+        }
+        if cfg.attn_bias:
+            for nm, key in (("bq", "q_proj"), ("bk", "k_proj"), ("bv", "v_proj")):
+                bias = sd.get(lp + f"self_attn.{key}.bias")
+                if bias is not None:
+                    attn[nm] = _a(bias, dtype)
+        if cfg.qk_norm:
+            attn["q_norm"] = _a(sd[lp + "self_attn.q_norm.weight"], dtype)
+            attn["k_norm"] = _a(sd[lp + "self_attn.k_norm.weight"], dtype)
+        layers.append(
+            {
+                "attn": attn,
+                "mlp": {
+                    "gate": _t(sd[lp + "mlp.gate_proj.weight"], dtype),
+                    "up": _t(sd[lp + "mlp.up_proj.weight"], dtype),
+                    "down": _t(sd[lp + "mlp.down_proj.weight"], dtype),
+                },
+                "input_ln": _a(sd[lp + "input_layernorm.weight"], dtype),
+                "post_ln": _a(sd[lp + "post_attention_layernorm.weight"], dtype),
+            }
+        )
+    params = {
+        "embed": _a(sd[p + "embed_tokens.weight"], dtype),
+        "layers": tuple(layers),
+        "final_norm": _a(sd[p + "norm.weight"], dtype),
+    }
+    if not cfg.tie_word_embeddings and "lm_head.weight" in sd:
+        params["lm_head"] = _t(sd["lm_head.weight"], dtype)
+    return params
+
+
+def read_eos_ids(model_dir: str) -> tuple[int, ...]:
+    """Multi-id EOS from generation_config.json (reference
+    qwen3_5/model.rs:540-567), falling back to config.json."""
+    ids: list[int] = []
+    for fname in ("generation_config.json", "config.json"):
+        path = os.path.join(model_dir, fname)
+        if os.path.exists(path):
+            eos = read_json(path).get("eos_token_id")
+            if eos is None:
+                continue
+            ids = list(eos) if isinstance(eos, list) else [eos]
+            break
+    return tuple(ids)
+
+
+def from_pretrained(
+    model_dir: str,
+    *,
+    dtype=jnp.bfloat16,
+    tokenizer=None,
+    quant_bits: int | None = None,
+) -> CausalLM:
+    """Load a dense causal LM from an HF checkpoint directory."""
+    from crane_tpu.loaders.safetensors_loader import load_state_dict
+
+    hf = load_hf_config(model_dir)
+    cfg = transformer_config_from_hf(hf)
+    sd = load_state_dict(model_dir)
+    params = map_hf_weights(cfg, sd, dtype)
+    if quant_bits is not None:
+        params = quantize_params(params, bits=quant_bits)
+    if tokenizer is None:
+        try:
+            from crane_tpu.tokenizer.autotokenizer import AutoTokenizer
+
+            tokenizer = AutoTokenizer.from_pretrained(model_dir)
+        except Exception:
+            tokenizer = None
+    return CausalLM(
+        cfg, params, tokenizer=tokenizer, eos_token_ids=read_eos_ids(model_dir),
+        dtype=dtype,
+    )
+
+
+def quantize_params(params: dict, *, bits: int = 8, block: int = 32) -> dict:
+    """In-situ quantization of all large linear weights (reference ISQ,
+    ops/linear.rs:80-116). Embeddings, norms and biases stay dense; the tied
+    lm_head is never quantized (qwen3_5/model.rs:116-121)."""
+    from crane_tpu.ops.linear import quantize_weight
+
+    def q_layer(layer):
+        out = {}
+        for k, v in layer.items():
+            if isinstance(v, dict):
+                out[k] = q_layer(v)
+            elif k in ("wq", "wk", "wv", "wo", "gate", "up", "down") and v.ndim == 2:
+                out[k] = quantize_weight(v, bits=bits, block=block)
+            else:
+                out[k] = v
+        return out
+
+    new = dict(params)
+    new["layers"] = tuple(q_layer(l) for l in params["layers"])
+    if "lm_head" in params:
+        new["lm_head"] = quantize_weight(params["lm_head"], bits=bits, block=block)
+    return new

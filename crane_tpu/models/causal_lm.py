@@ -1,0 +1,197 @@
+"""Generic causal-LM driver: jitted prefill / decode-step / generate.
+
+TPU-native replacement for the reference's ``ModelForCausalLM`` trait + default
+generate loop (/root/reference/crane-core/src/generation/based.rs:5-34). The
+per-token host loop drives ONE fused jitted program per step — forward, logits,
+repetition penalty and sampling all stay on device; only the sampled token id
+crosses to the host (for streaming + EOS checks), mirroring the reference
+engine's GPU-argmax "zero DtoH" fast path (crane-serve/src/engine/sampling.rs).
+
+Shape discipline: prompts are padded to power-of-two buckets, caches are
+allocated at bucketed max length once; each (bucket, cache-shape) pair compiles
+exactly once and is reused (SURVEY.md §7 hard-part #2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from crane_tpu.generation.config import GenerationConfig
+from crane_tpu.models.modules.transformer import (
+    TransformerConfig,
+    forward_hidden,
+    lm_logits,
+    make_rope_tables,
+)
+from crane_tpu.ops.kv_cache import KVCache
+from crane_tpu.ops.sampling import SamplingParams, sample, update_recent
+from crane_tpu.utils.buckets import bucket_length
+
+
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(3,))
+def _prefill(cfg, params, rope, cache, tokens, start, true_lengths):
+    """Prefill padded ``tokens [B, S_bucket]``; returns last-token logits.
+
+    ``true_lengths [B]`` is the unpadded prompt length; cache lengths advance
+    by it (pad-garbage KV slots beyond it get overwritten by later decode
+    steps and are causally masked meanwhile).
+    """
+    hidden, new_cache = forward_hidden(cfg, params, tokens, cache, start, rope)
+    new_cache = dataclasses.replace(new_cache, lengths=cache.lengths + true_lengths)
+    b = jnp.arange(tokens.shape[0])
+    last = hidden[b, start + true_lengths - 1]
+    logits = lm_logits(cfg, params, last[:, None])[:, 0]
+    return logits, new_cache
+
+
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(3, 5))
+def _decode_step(cfg, params, rope, cache, tokens, recent, sp, key):
+    """One batched decode step: ``tokens [B]`` -> sampled next tokens ``[B]``."""
+    hidden, new_cache = forward_hidden(
+        cfg, params, tokens[:, None], cache, cache.lengths, rope
+    )
+    logits = lm_logits(cfg, params, hidden)[:, 0]
+    next_tok = sample(logits, sp, recent, key)
+    new_recent = update_recent(recent, next_tok)
+    return next_tok, new_cache, new_recent
+
+
+@functools.partial(jax.jit, static_argnums=(0, 8), donate_argnums=(3, 5))
+def _decode_steps(cfg, params, rope, cache, tokens, recent, sp, key, n_steps: int):
+    """``n_steps`` decode rounds in one dispatch via lax.scan.
+
+    The serving engine's batched-decode inner loop (reference
+    decode_tokens_per_seq rounds, engine/mod.rs:917-1146) — amortizes host
+    dispatch overhead; EOS is checked on the host after the block.
+    """
+
+    def body(carry, k):
+        cache, toks, recent = carry
+        hidden, cache = forward_hidden(cfg, params, toks[:, None], cache, cache.lengths, rope)
+        logits = lm_logits(cfg, params, hidden)[:, 0]
+        nxt = sample(logits, sp, recent, k)
+        recent = update_recent(recent, nxt)
+        return (cache, nxt, recent), nxt
+
+    keys = jax.random.split(key, n_steps)
+    (cache, _, recent), out = jax.lax.scan(body, (cache, tokens, recent), keys)
+    return out.T, cache, recent  # out: [B, n_steps]
+
+
+class CausalLM:
+    """A loaded model: static config + parameter pytree + jitted step fns."""
+
+    def __init__(
+        self,
+        config: TransformerConfig,
+        params: dict,
+        *,
+        tokenizer=None,
+        eos_token_ids: Sequence[int] = (),
+        dtype=jnp.bfloat16,
+    ):
+        self.config = config
+        self.params = params
+        self.tokenizer = tokenizer
+        self.eos_token_ids = tuple(eos_token_ids)
+        self.dtype = dtype
+        self.rope = make_rope_tables(config)
+
+    # -- cache management ----------------------------------------------------
+    def init_cache(self, batch: int, max_seq: int, *, quant_bits: int | None = None) -> KVCache:
+        c = self.config
+        return KVCache.empty(
+            c.num_layers, batch, max_seq, c.num_kv_heads, c.head_dim, self.dtype,
+            quant_bits=quant_bits,
+        )
+
+    # -- low-level steps -----------------------------------------------------
+    def prefill(self, cache: KVCache, token_ids: np.ndarray, true_lengths, start=0):
+        """token_ids ``[B, S_bucket]`` int32 (padded). Returns (logits, cache)."""
+        return _prefill(
+            self.config, self.params, self.rope, cache,
+            jnp.asarray(token_ids, jnp.int32),
+            jnp.asarray(start, jnp.int32),
+            jnp.asarray(true_lengths, jnp.int32),
+        )
+
+    def decode_step(self, cache, tokens, recent, sp: SamplingParams, key):
+        return _decode_step(self.config, self.params, self.rope, cache,
+                            jnp.asarray(tokens, jnp.int32), recent, sp, key)
+
+    def decode_steps(self, cache, tokens, recent, sp: SamplingParams, key, n_steps: int):
+        return _decode_steps(self.config, self.params, self.rope, cache,
+                             jnp.asarray(tokens, jnp.int32), recent, sp, key, n_steps)
+
+    # -- high-level generate (single sequence, streaming) --------------------
+    def generate(
+        self,
+        input_ids: Sequence[int],
+        gen: GenerationConfig | None = None,
+        streamer=None,
+    ) -> list[int]:
+        gen = gen or GenerationConfig()
+        eos = set(gen.eos_token_ids) | set(self.eos_token_ids)
+        prompt_len = len(input_ids)
+        total = prompt_len + gen.max_new_tokens
+        max_seq = bucket_length(total, floor=256)
+        cache = self.init_cache(1, max_seq)
+
+        sp = SamplingParams.make(
+            1,
+            temperature=gen.temperature,
+            top_k=gen.top_k,
+            top_p=gen.top_p,
+            repetition_penalty=gen.repetition_penalty,
+            do_sample=gen.do_sample,
+        )
+        window = max(gen.repeat_last_n, 1)
+        recent = jnp.full((1, window), -1, jnp.int32)
+        if gen.repetition_penalty != 1.0:
+            tail = np.asarray(input_ids[-window:], np.int32)[None, :]
+            recent = recent.at[:, -tail.shape[1]:].set(tail)
+
+        s_bucket = bucket_length(prompt_len, floor=64, ceiling=max_seq)
+        padded = np.zeros((1, s_bucket), np.int32)
+        padded[0, :prompt_len] = input_ids
+
+        key = jax.random.PRNGKey(gen.seed)
+        t0 = time.perf_counter()
+        logits, cache = self.prefill(cache, padded, [prompt_len])
+        key, sub = jax.random.split(key)
+        first = sample(logits, sp, recent, sub)
+        recent = update_recent(recent, first)
+        tok = int(first[0])
+        t_prefill = time.perf_counter() - t0
+
+        out: list[int] = []
+        t1 = time.perf_counter()
+        cur = first
+        for _ in range(gen.max_new_tokens):
+            out.append(tok)
+            if streamer is not None and streamer.append(tok) is False:
+                break
+            if tok in eos:
+                break
+            key, sub = jax.random.split(key)
+            cur, cache, recent = self.decode_step(cache, cur, recent, sp, sub)
+            tok = int(cur[0])
+        t_decode = time.perf_counter() - t1
+
+        if streamer is not None:
+            streamer.finalize()
+        if gen.report_speed and out:
+            dec_tps = (len(out) - 1) / t_decode if t_decode > 0 else float("inf")
+            print(
+                f"[crane_tpu] prefill {prompt_len} tok in {t_prefill * 1e3:.1f} ms "
+                f"({prompt_len / max(t_prefill, 1e-9):.1f} tok/s) | "
+                f"decode {len(out)} tok in {t_decode * 1e3:.1f} ms ({dec_tps:.1f} tok/s)"
+            )
+        return out

@@ -1,0 +1,228 @@
+"""Shared decoder-only transformer: config, pure forward functions.
+
+This is the TPU-native counterpart of crane-core's shared modules
+(/root/reference/crane-core/src/models/modules/{transformer,attention,ffn}.rs):
+pre-norm block = input_ln -> GQA attention -> +res -> post_ln -> SwiGLU -> +res.
+One parameterized implementation serves Qwen2.5 (attn bias, no QK-norm),
+Qwen3 / Qwen3.5 full-attn layers (per-head QK-RMSNorm, optional output gate),
+Hunyuan-dense, Gemma (unit-offset norms, pre/post FFN norms, sliding-window +
+dual-theta RoPE via layer_types, logit softcap), and Llama-likes.
+
+Everything is a pure function of (config, params, inputs) — jit/vmap/shard
+friendly. Params are plain nested dicts of arrays (or QuantizedWeight leaves).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from crane_tpu.ops.attention import gqa_attention
+from crane_tpu.ops.kv_cache import KVCache
+from crane_tpu.ops.linear import linear
+from crane_tpu.ops.norm import rms_norm
+from crane_tpu.ops.rope import apply_rope, rope_table
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerConfig:
+    """Static architecture description (hashable; safe as a jit static arg)."""
+
+    vocab_size: int
+    hidden_size: int
+    num_layers: int
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int
+    intermediate_size: int
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    max_position_embeddings: int = 32768
+    qk_norm: bool = False
+    attn_bias: bool = False
+    tie_word_embeddings: bool = False
+    rope_mode: str = "half"
+    partial_rotary_factor: float = 1.0
+    # per-layer attention kind: "full" | "sliding" | (hybrid models add more,
+    # e.g. "gdn" for Qwen3.5); None means all-"full".
+    layer_types: tuple[str, ...] | None = None
+    sliding_window: int | None = None
+    # Gemma-style extras
+    logit_softcap: float | None = None
+    norm_weight_offset: float = 0.0
+    embed_scale: float | None = None
+    act: str = "silu"
+    # Qwen3.5-style sigmoid output gate carried in a 2x-wide q_proj
+    attn_output_gate: bool = False
+
+    @property
+    def rot_dim(self) -> int:
+        r = int(self.head_dim * self.partial_rotary_factor)
+        return r - (r % 2)
+
+    def layer_type(self, i: int) -> str:
+        if self.layer_types is None:
+            return "full"
+        return self.layer_types[i]
+
+    @property
+    def attention_layer_indices(self) -> tuple[int, ...]:
+        return tuple(
+            i for i in range(self.num_layers) if self.layer_type(i) != "gdn"
+        )
+
+
+def make_rope_tables(cfg: TransformerConfig) -> dict[str, Any]:
+    """Precompute cos/sin tables; Gemma-style models may need two thetas."""
+    cos, sin = rope_table(
+        cfg.rot_dim, cfg.max_position_embeddings, theta=cfg.rope_theta
+    )
+    return {"cos": cos, "sin": sin}
+
+
+def _activation(cfg: TransformerConfig, x: jax.Array) -> jax.Array:
+    if cfg.act == "silu":
+        return jax.nn.silu(x)
+    if cfg.act == "gelu_tanh":
+        return jax.nn.gelu(x, approximate=True)
+    raise ValueError(f"unknown activation {cfg.act!r}")
+
+
+def mlp_block(cfg: TransformerConfig, p: dict, x: jax.Array) -> jax.Array:
+    """SwiGLU: down(act(gate(x)) * up(x)) — reference modules/ffn.rs."""
+    return linear(_activation(cfg, linear(x, p["gate"])) * linear(x, p["up"]), p["down"])
+
+
+def attention_block(
+    cfg: TransformerConfig,
+    p: dict,
+    x: jax.Array,
+    layer_cache,
+    positions: jax.Array,
+    cache_positions: jax.Array,
+    rope: dict,
+    *,
+    window: int | None = None,
+):
+    """GQA attention with QK-norm, RoPE, KV-cache append, optional out-gate.
+
+    x: ``[B, S, E]``; positions ``[B, S]``; cache_positions scalar or ``[B]``
+    (see LayerKVCache.update). Returns (out ``[B, S, E]``, new_layer_cache).
+    """
+    B, S, _ = x.shape
+    H, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    q = linear(x, p["wq"], p.get("bq"))
+    k = linear(x, p["wk"], p.get("bk"))
+    v = linear(x, p["wv"], p.get("bv"))
+
+    gate = None
+    if cfg.attn_output_gate:
+        # 2x-wide q_proj = [query | gate] per head (qwen3_5/modeling.rs:279-294)
+        q = q.reshape(B, S, H, 2 * D)
+        q, gate = q[..., :D], q[..., D:]
+    else:
+        q = q.reshape(B, S, H, D)
+    k = k.reshape(B, S, Hkv, D)
+    v = v.reshape(B, S, Hkv, D)
+
+    if cfg.qk_norm:
+        q = rms_norm(q, p["q_norm"], eps=cfg.rms_norm_eps, weight_offset=cfg.norm_weight_offset)
+        k = rms_norm(k, p["k_norm"], eps=cfg.rms_norm_eps, weight_offset=cfg.norm_weight_offset)
+
+    q = apply_rope(q, rope["cos"], rope["sin"], positions, mode=cfg.rope_mode)
+    k = apply_rope(k, rope["cos"], rope["sin"], positions, mode=cfg.rope_mode)
+
+    new_cache = layer_cache.update(k, v, cache_positions)
+    if hasattr(new_cache, "dequant"):
+        kc, vc = new_cache.dequant(x.dtype)
+    else:
+        kc, vc = new_cache.k, new_cache.v
+
+    out = gqa_attention(
+        q, kc, vc, positions,
+        scale=D ** -0.5,
+        window=window,
+        logit_softcap=None,
+    )
+    if gate is not None:
+        out = out * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(out.dtype)
+    out = out.reshape(B, S, H * D)
+    return linear(out, p["wo"], p.get("bo")), new_cache
+
+
+def decoder_layer(
+    cfg: TransformerConfig,
+    p: dict,
+    x: jax.Array,
+    layer_cache,
+    positions: jax.Array,
+    cache_positions: jax.Array,
+    rope: dict,
+    *,
+    layer_idx: int,
+):
+    window = cfg.sliding_window if cfg.layer_type(layer_idx) == "sliding" else None
+    h = rms_norm(x, p["input_ln"], eps=cfg.rms_norm_eps, weight_offset=cfg.norm_weight_offset)
+    attn_out, new_cache = attention_block(
+        cfg, p["attn"], h, layer_cache, positions, cache_positions, rope, window=window
+    )
+    x = x + attn_out
+    h = rms_norm(x, p["post_ln"], eps=cfg.rms_norm_eps, weight_offset=cfg.norm_weight_offset)
+    x = x + mlp_block(cfg, p["mlp"], h)
+    return x, new_cache
+
+
+def forward_hidden(
+    cfg: TransformerConfig,
+    params: dict,
+    tokens: jax.Array,
+    cache: KVCache,
+    cache_positions: jax.Array,
+    rope: dict,
+) -> tuple[jax.Array, KVCache]:
+    """Token ids ``[B, S]`` -> final hidden states ``[B, S, E]`` + new cache.
+
+    ``cache_positions``: scalar start (prefill; all rows aligned) or ``[B]``
+    per-row write positions (batched decode, S == 1).
+    """
+    B, S = tokens.shape
+    if cache_positions.ndim == 0:
+        positions = cache_positions[None, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
+        positions = jnp.broadcast_to(positions, (B, S))
+    else:
+        positions = cache_positions[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
+
+    x = params["embed"][tokens]
+    if cfg.embed_scale is not None:
+        x = (x.astype(jnp.float32) * cfg.embed_scale).astype(x.dtype)
+
+    new_layers = list(cache.layers)
+    for i in range(cfg.num_layers):
+        x, new_layers[i] = decoder_layer(
+            cfg, params["layers"][i], x, cache.layers[i],
+            positions, cache_positions, rope, layer_idx=i,
+        )
+
+    x = rms_norm(x, params["final_norm"], eps=cfg.rms_norm_eps, weight_offset=cfg.norm_weight_offset)
+    new_cache = KVCache(layers=tuple(new_layers), lengths=cache.lengths + S)
+    return x, new_cache
+
+
+def lm_logits(cfg: TransformerConfig, params: dict, hidden: jax.Array) -> jax.Array:
+    """Project hidden states to vocab logits (tied or separate head), f32."""
+    head = params.get("lm_head")
+    if head is None:
+        head = params["embed"].T
+    if hasattr(head, "dequant"):  # QuantizedWeight lm_head
+        logits = linear(hidden, head).astype(jnp.float32)
+    else:
+        logits = jnp.dot(
+            hidden, head.astype(hidden.dtype), preferred_element_type=jnp.float32
+        )
+    if cfg.logit_softcap is not None:
+        logits = jnp.tanh(logits / cfg.logit_softcap) * cfg.logit_softcap
+    return logits

@@ -1,0 +1,176 @@
+"""Fixed-shape KV caches.
+
+Reference behavior: crane-core pre-allocates ``[B, H, S+ROOM, D]`` buffers and
+appends in-place via ``slice_set``, regrowing on overflow
+(/root/reference/crane-core/src/models/modules/kv_cache.rs:12-101). XLA
+requires static shapes, so the TPU-native design allocates ``max_seq_len`` once
+per slot and never regrows (SURVEY.md §7: the amortized-growth trick becomes
+"allocate max once, donate buffers"). Layout is ``[B, S, H, D]`` — the last dim
+is the 128-lane axis, S is the sublane axis, which is the natural TPU tiling.
+
+Quantized variants (int8 / nibble-packed int4 with per-token scales,
+dequantize-on-read — reference qwen3_5/kv_cache.rs:26-342) are provided by
+``QuantLayerKVCache``; attention fuses the dequant (the reference's stated
+follow-up, done here from day one).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class LayerKVCache:
+    """One layer's pre-allocated KV buffer: k/v are ``[B, S_max, H_kv, D]``."""
+
+    k: jax.Array
+    v: jax.Array
+
+    @staticmethod
+    def empty(batch: int, max_seq: int, n_kv_heads: int, head_dim: int, dtype) -> "LayerKVCache":
+        shape = (batch, max_seq, n_kv_heads, head_dim)
+        return LayerKVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+    @property
+    def max_seq(self) -> int:
+        return self.k.shape[1]
+
+    def update(self, k_new: jax.Array, v_new: jax.Array, positions: jax.Array) -> "LayerKVCache":
+        """Write ``k_new/v_new`` ``[B, S_new, H, D]`` at ``positions``.
+
+        ``positions`` is either a scalar start index (all rows share it — the
+        prefill path, lowered to a dynamic-update-slice) or ``[B]`` per-row
+        start indices (ragged batched decode with S_new == 1).
+        """
+        if positions.ndim == 0:
+            k = jax.lax.dynamic_update_slice(self.k, k_new.astype(self.k.dtype), (0, positions, 0, 0))
+            v = jax.lax.dynamic_update_slice(self.v, v_new.astype(self.v.dtype), (0, positions, 0, 0))
+            return LayerKVCache(k=k, v=v)
+        assert positions.ndim == 1 and k_new.shape[1] == 1, (
+            "per-row positions require S_new == 1 (batched decode)"
+        )
+        b = jnp.arange(k_new.shape[0])[:, None]
+        k = self.k.at[b, positions[:, None]].set(k_new.astype(self.k.dtype))
+        v = self.v.at[b, positions[:, None]].set(v_new.astype(self.v.dtype))
+        return LayerKVCache(k=k, v=v)
+
+
+def _quant_symmetric(x: jax.Array, bits: int) -> tuple[jax.Array, jax.Array]:
+    """Per-(token, head) symmetric quantization over the head_dim axis.
+
+    Mirrors the reference's per-token symmetric scheme: scale = amax/qmax
+    (qwen3_5/kv_cache.rs:209-342). Returns (int8 codes, f32 scales [..., 1]).
+    For bits=4, codes are still int8-typed but in [-7, 7]; nibble packing is a
+    memory-layout detail handled by the caller when it matters.
+    """
+    qmax = float(2 ** (bits - 1) - 1)
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = amax / qmax
+    inv = jnp.where(scale > 0, 1.0 / jnp.where(scale > 0, scale, 1.0), 0.0)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) * inv), -qmax, qmax).astype(jnp.int8)
+    return q, scale
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class QuantLayerKVCache:
+    """int8/int4 KV cache with per-(token, head) scales, dequantize-on-read.
+
+    k/v: ``[B, S_max, H, D]`` int8 codes; k_scale/v_scale: ``[B, S_max, H, 1]``
+    f32. ``bits`` (4 or 8) is static metadata.
+    """
+
+    k: jax.Array
+    v: jax.Array
+    k_scale: jax.Array
+    v_scale: jax.Array
+    bits: int = dataclasses.field(metadata=dict(static=True), default=8)
+
+    @staticmethod
+    def empty(batch: int, max_seq: int, n_kv_heads: int, head_dim: int, dtype=None, *, bits: int = 8) -> "QuantLayerKVCache":
+        del dtype  # codes are always int8; kept for signature parity
+        shape = (batch, max_seq, n_kv_heads, head_dim)
+        sshape = (batch, max_seq, n_kv_heads, 1)
+        return QuantLayerKVCache(
+            k=jnp.zeros(shape, jnp.int8),
+            v=jnp.zeros(shape, jnp.int8),
+            k_scale=jnp.zeros(sshape, jnp.float32),
+            v_scale=jnp.zeros(sshape, jnp.float32),
+            bits=bits,
+        )
+
+    @property
+    def max_seq(self) -> int:
+        return self.k.shape[1]
+
+    def update(self, k_new: jax.Array, v_new: jax.Array, positions: jax.Array) -> "QuantLayerKVCache":
+        kq, ks = _quant_symmetric(k_new, self.bits)
+        vq, vs = _quant_symmetric(v_new, self.bits)
+        if positions.ndim == 0:
+            at = (0, positions, 0, 0)
+            return QuantLayerKVCache(
+                k=jax.lax.dynamic_update_slice(self.k, kq, at),
+                v=jax.lax.dynamic_update_slice(self.v, vq, at),
+                k_scale=jax.lax.dynamic_update_slice(self.k_scale, ks, at),
+                v_scale=jax.lax.dynamic_update_slice(self.v_scale, vs, at),
+                bits=self.bits,
+            )
+        assert positions.ndim == 1 and k_new.shape[1] == 1
+        b = jnp.arange(k_new.shape[0])[:, None]
+        p = positions[:, None]
+        return QuantLayerKVCache(
+            k=self.k.at[b, p].set(kq),
+            v=self.v.at[b, p].set(vq),
+            k_scale=self.k_scale.at[b, p].set(ks),
+            v_scale=self.v_scale.at[b, p].set(vs),
+            bits=self.bits,
+        )
+
+    def dequant(self, compute_dtype=jnp.bfloat16) -> tuple[jax.Array, jax.Array]:
+        k = (self.k.astype(jnp.float32) * self.k_scale).astype(compute_dtype)
+        v = (self.v.astype(jnp.float32) * self.v_scale).astype(compute_dtype)
+        return k, v
+
+
+AnyLayerKVCache = Union[LayerKVCache, QuantLayerKVCache]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class KVCache:
+    """Whole-model cache: one entry per attention layer + per-row lengths.
+
+    ``lengths[b]`` is the number of valid tokens in row ``b`` (the next write
+    position). Hybrid models (Qwen3.5 GDN) carry their recurrent state in a
+    parallel structure; layers without KV have a None placeholder there.
+    """
+
+    layers: tuple
+    lengths: jax.Array  # [B] int32
+
+    @staticmethod
+    def empty(n_layers: int, batch: int, max_seq: int, n_kv_heads: int, head_dim: int, dtype, *, quant_bits: int | None = None) -> "KVCache":
+        if quant_bits is None:
+            mk = lambda: LayerKVCache.empty(batch, max_seq, n_kv_heads, head_dim, dtype)
+        else:
+            mk = lambda: QuantLayerKVCache.empty(batch, max_seq, n_kv_heads, head_dim, bits=quant_bits)
+        return KVCache(
+            layers=tuple(mk() for _ in range(n_layers)),
+            lengths=jnp.zeros((batch,), jnp.int32),
+        )
+
+    @property
+    def batch(self) -> int:
+        return self.lengths.shape[0]
+
+    @property
+    def max_seq(self) -> int:
+        return self.layers[0].max_seq
+
+    def advanced(self, n: jax.Array | int) -> "KVCache":
+        return dataclasses.replace(self, lengths=self.lengths + n)

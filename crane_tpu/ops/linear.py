@@ -1,0 +1,89 @@
+"""Linear layers: dense bf16 and quantized (in-situ / GGUF) variants.
+
+Reference behavior: crane-core's polymorphic ``LinearLayer::{Standard,
+Quantized(QMatMul)}`` with in-situ quantization at load keeping peak memory low
+(/root/reference/crane-core/src/ops/linear.rs). GGML block formats (q8_0,
+q4_0, q4_k) use per-block scales over groups of 32/256 input elements.
+
+TPU-native design: quantized weights are stored as int8 codes (int4 values
+occupy int8 storage pre-MXU; a Pallas int4-unpack matmul is the perf follow-up)
+with f32 subchannel scales ``[in/block, out]``. The matmul runs
+``x_block @ w_block`` per block with scale folding — XLA fuses the dequant into
+the dot's operand, so HBM traffic is the int8 bytes, which is the point of
+quantization on a bandwidth-bound decode.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class QuantizedWeight:
+    """Blockwise symmetric int8/int4 weight for ``y = x @ w``.
+
+    ``codes``: ``[in, out]`` int8 (int4 values stored in int8 range [-7, 7]);
+    ``scales``: ``[in // block, out]`` f32; ``block`` and ``bits`` static.
+    """
+
+    codes: jax.Array
+    scales: jax.Array
+    block: int = dataclasses.field(metadata=dict(static=True), default=32)
+    bits: int = dataclasses.field(metadata=dict(static=True), default=8)
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return self.codes.shape
+
+    def dequant(self, dtype=jnp.bfloat16) -> jax.Array:
+        i, o = self.codes.shape
+        w = self.codes.astype(jnp.float32).reshape(i // self.block, self.block, o)
+        w = w * self.scales[:, None, :]
+        return w.reshape(i, o).astype(dtype)
+
+
+def quantize_weight(w: jax.Array, *, bits: int = 8, block: int = 32) -> QuantizedWeight:
+    """In-situ symmetric blockwise quantization of a dense ``[in, out]`` weight.
+
+    Mirrors the reference's load-then-quantize ISQ path (ops/linear.rs:80-116);
+    block=32 matches q8_0/q4_0 granularity along the input dimension.
+    """
+    i, o = w.shape
+    if i % block != 0:
+        # reference falls back to Q8_0 when in_dim % 256 != 0; here we fall
+        # back to a whole-column block
+        block = i
+    qmax = float(2 ** (bits - 1) - 1)
+    wf = w.astype(jnp.float32).reshape(i // block, block, o)
+    amax = jnp.max(jnp.abs(wf), axis=1, keepdims=True)
+    scale = amax / qmax
+    inv = jnp.where(scale > 0, 1.0 / jnp.where(scale > 0, scale, 1.0), 0.0)
+    codes = jnp.clip(jnp.round(wf * inv), -qmax, qmax).astype(jnp.int8)
+    return QuantizedWeight(
+        codes=codes.reshape(i, o), scales=scale[:, 0, :], block=block, bits=bits
+    )
+
+
+def linear(x: jax.Array, w, b: jax.Array | None = None) -> jax.Array:
+    """``y = x @ w (+ b)`` for dense arrays or :class:`QuantizedWeight`."""
+    if isinstance(w, QuantizedWeight):
+        # blockwise dequant-matmul; XLA fuses the scale multiply into the dot.
+        i, o = w.codes.shape
+        nb = i // w.block
+        xb = x.reshape(*x.shape[:-1], nb, w.block).astype(jnp.float32)
+        wb = w.codes.reshape(nb, w.block, o)
+        y = jnp.einsum(
+            "...nk,nko->...no", xb, wb.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        y = jnp.einsum("...no,no->...o", y, w.scales)
+        y = y.astype(x.dtype)
+    else:
+        y = jnp.dot(x, w.astype(x.dtype))
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y

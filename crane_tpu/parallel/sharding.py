@@ -1,0 +1,89 @@
+"""Multi-chip sharding: mesh construction + parameter/cache sharding rules.
+
+The reference is single-device by design (SURVEY.md §2.9); scaling here is the
+TPU-native extension: a ``jax.sharding.Mesh`` over ICI with GSPMD annotations.
+Weights follow the Megatron tensor-parallel layout (attention heads and FFN
+hidden sharded over ``tp``; vocab sharded embedding/head), batch over ``dp``;
+XLA inserts the psum/all-gather collectives (scaling-book recipe: annotate,
+let XLA place collectives, profile).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp: int = 1, tp: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = dp * tp
+    assert len(devices) >= n, (len(devices), n)
+    arr = np.asarray(devices[:n]).reshape(dp, tp)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+def param_partition_specs(params: dict) -> dict:
+    """PartitionSpec tree matching the crane_tpu param tree layout.
+
+    Linear weights are stored ``[in, out]``:
+      wq/wk/wv ``[E, H*D]`` -> shard out (heads) over tp
+      wo ``[H*D, E]``       -> shard in  (heads) over tp
+      gate/up ``[E, I]``    -> shard out over tp
+      down ``[I, E]``       -> shard in  over tp
+      embed ``[V, E]``      -> shard vocab over tp
+      lm_head ``[E, V]``    -> shard vocab over tp
+      norms / biases        -> replicated
+    """
+
+    def layer_spec(layer: dict) -> dict:
+        attn = {
+            "wq": P(None, "tp"), "wk": P(None, "tp"), "wv": P(None, "tp"),
+            "wo": P("tp", None),
+        }
+        for b in ("bq", "bk", "bv"):
+            if b in layer["attn"]:
+                attn[b] = P("tp")
+        for nrm in ("q_norm", "k_norm"):
+            if nrm in layer["attn"]:
+                attn[nrm] = P()
+        out = {
+            "attn": attn,
+            "mlp": {"gate": P(None, "tp"), "up": P(None, "tp"), "down": P("tp", None)},
+            "input_ln": P(),
+            "post_ln": P(),
+        }
+        for k in layer:
+            if k not in out:
+                out[k] = jax.tree.map(lambda _: P(), layer[k])
+        return out
+
+    spec: dict[str, Any] = {
+        "embed": P("tp", None),
+        "layers": tuple(layer_spec(l) for l in params["layers"]),
+        "final_norm": P(),
+    }
+    if "lm_head" in params:
+        spec["lm_head"] = P(None, "tp")
+    return spec
+
+
+def shard_params(params: dict, mesh: Mesh) -> dict:
+    specs = param_partition_specs(params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params,
+        specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def cache_partition_spec() -> P:
+    """KV buffers ``[B, S, H, D]``: batch over dp, kv heads over tp."""
+    return P("dp", None, "tp", None)
+
+
+def token_partition_spec() -> P:
+    return P("dp", None)

@@ -1,0 +1,20 @@
+"""Test configuration: run everything on a virtual 8-device CPU platform.
+
+The axon sitecustomize registers the TPU plugin and forces
+``jax_platforms="axon,cpu"`` before conftest runs, so the env-var route is not
+enough — we must override the jax config after import (and before any backend
+is initialized by a test).
+"""
+
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
