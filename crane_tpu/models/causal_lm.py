@@ -51,6 +51,55 @@ def _prefill(cfg, params, rope, cache, tokens, start, true_lengths):
     return logits, new_cache
 
 
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(3,))
+def _prefill_slot(cfg, params, rope, cache, tokens, slot, true_length):
+    """Prefill ``tokens [1, S_bucket]`` into row ``slot`` of a multi-slot
+    serving cache. Attention reads the freshly computed in-context K/V
+    (``read_cache=False``), so other slots' buffers are never touched; only
+    row ``slot``'s KV and length are written. Returns last-token logits.
+
+    This replaces the reference engine's KV swap-in/out + pad-and-stack
+    machinery (engine/mod.rs:1263-1317) — slots are rows of one static buffer.
+    """
+    hidden, new_cache = forward_hidden(
+        cfg, params, tokens, cache, jnp.asarray(0, jnp.int32), rope,
+        read_cache=False, cache_row=slot,
+    )
+    new_lengths = cache.lengths.at[slot].set(true_length)
+    new_cache = dataclasses.replace(new_cache, lengths=new_lengths)
+    last = jax.lax.dynamic_index_in_dim(hidden[0], true_length - 1, axis=0, keepdims=False)
+    logits = lm_logits(cfg, params, last[None, None])[:, 0]
+    return logits, new_cache
+
+
+@functools.partial(jax.jit, static_argnums=(0, 9), donate_argnums=(3, 5))
+def _decode_active(cfg, params, rope, cache, tokens, recent, sp, key, active, n_steps: int):
+    """``n_steps`` batched decode rounds over all slots with an activity mask.
+
+    Inactive slots compute garbage that is masked out: their KV writes are
+    dropped (position >= max_seq) and their lengths/recent rings don't
+    advance — the TPU version of the reference's lazy in-batch eviction
+    ("finished seqs stay in the batch tensor", engine/mod.rs:908-915).
+    Returns sampled tokens ``[B, n_steps]``.
+    """
+
+    def body(carry, k):
+        cache, toks, recent = carry
+        hidden, cache = forward_hidden(
+            cfg, params, toks[:, None], cache, cache.lengths, rope, active=active
+        )
+        logits = lm_logits(cfg, params, hidden)[:, 0]
+        nxt = sample(logits, sp, recent, k)
+        nxt = jnp.where(active, nxt, toks)
+        recent_new = update_recent(recent, nxt)
+        recent = jnp.where(active[:, None], recent_new, recent)
+        return (cache, nxt, recent), nxt
+
+    keys = jax.random.split(key, n_steps)
+    (cache, _, recent), out = jax.lax.scan(body, (cache, tokens, recent), keys)
+    return out.T, cache, recent
+
+
 @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(3, 5))
 def _decode_step(cfg, params, rope, cache, tokens, recent, sp, key):
     """One batched decode step: ``tokens [B]`` -> sampled next tokens ``[B]``."""
@@ -120,6 +169,23 @@ class CausalLM:
             jnp.asarray(token_ids, jnp.int32),
             jnp.asarray(start, jnp.int32),
             jnp.asarray(true_lengths, jnp.int32),
+        )
+
+    def prefill_slot(self, cache, token_ids, slot: int, true_length: int):
+        """Prefill one sequence into slot ``slot`` of a multi-slot cache."""
+        return _prefill_slot(
+            self.config, self.params, self.rope, cache,
+            jnp.asarray(token_ids, jnp.int32),
+            jnp.asarray(slot, jnp.int32),
+            jnp.asarray(true_length, jnp.int32),
+        )
+
+    def decode_active(self, cache, tokens, recent, sp, key, active, n_steps: int):
+        """Batched decode over all slots with an activity mask."""
+        return _decode_active(
+            self.config, self.params, self.rope, cache,
+            jnp.asarray(tokens, jnp.int32), recent, sp, key,
+            jnp.asarray(active, jnp.bool_), n_steps,
         )
 
     def decode_step(self, cache, tokens, recent, sp: SamplingParams, key):

@@ -106,11 +106,18 @@ def attention_block(
     rope: dict,
     *,
     window: int | None = None,
+    read_cache: bool = True,
+    cache_row=None,
 ):
     """GQA attention with QK-norm, RoPE, KV-cache append, optional out-gate.
 
     x: ``[B, S, E]``; positions ``[B, S]``; cache_positions scalar or ``[B]``
     (see LayerKVCache.update). Returns (out ``[B, S, E]``, new_layer_cache).
+
+    ``read_cache=False`` attends over the freshly computed in-context K/V
+    instead of the cache buffers (fresh prefill from position 0) — this lets
+    the serving engine prefill directly into one slot ``cache_row`` of a
+    multi-slot cache without touching other rows.
     """
     B, S, _ = x.shape
     H, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -136,8 +143,10 @@ def attention_block(
     q = apply_rope(q, rope["cos"], rope["sin"], positions, mode=cfg.rope_mode)
     k = apply_rope(k, rope["cos"], rope["sin"], positions, mode=cfg.rope_mode)
 
-    new_cache = layer_cache.update(k, v, cache_positions)
-    if hasattr(new_cache, "dequant"):
+    new_cache = layer_cache.update(k, v, cache_positions, row=cache_row)
+    if not read_cache:
+        kc, vc = k, v
+    elif hasattr(new_cache, "dequant"):
         kc, vc = new_cache.dequant(x.dtype)
     else:
         kc, vc = new_cache.k, new_cache.v
@@ -164,11 +173,14 @@ def decoder_layer(
     rope: dict,
     *,
     layer_idx: int,
+    read_cache: bool = True,
+    cache_row=None,
 ):
     window = cfg.sliding_window if cfg.layer_type(layer_idx) == "sliding" else None
     h = rms_norm(x, p["input_ln"], eps=cfg.rms_norm_eps, weight_offset=cfg.norm_weight_offset)
     attn_out, new_cache = attention_block(
-        cfg, p["attn"], h, layer_cache, positions, cache_positions, rope, window=window
+        cfg, p["attn"], h, layer_cache, positions, cache_positions, rope,
+        window=window, read_cache=read_cache, cache_row=cache_row,
     )
     x = x + attn_out
     h = rms_norm(x, p["post_ln"], eps=cfg.rms_norm_eps, weight_offset=cfg.norm_weight_offset)
@@ -183,20 +195,39 @@ def forward_hidden(
     cache: KVCache,
     cache_positions: jax.Array,
     rope: dict,
+    *,
+    read_cache: bool = True,
+    cache_row=None,
+    active: jax.Array | None = None,
+    inputs_embeds: jax.Array | None = None,
 ) -> tuple[jax.Array, KVCache]:
     """Token ids ``[B, S]`` -> final hidden states ``[B, S, E]`` + new cache.
 
     ``cache_positions``: scalar start (prefill; all rows aligned) or ``[B]``
-    per-row write positions (batched decode, S == 1).
+    per-row write positions (batched decode, S == 1). ``active [B]`` masks
+    rows out of a batched decode: their KV writes are dropped and their
+    lengths don't advance (static-slot serving). ``inputs_embeds`` bypasses
+    the embedding lookup (VLM/audio embed splicing).
     """
     B, S = tokens.shape
     if cache_positions.ndim == 0:
         positions = cache_positions[None, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
         positions = jnp.broadcast_to(positions, (B, S))
+        write_pos = cache_positions
+        new_lengths = cache.lengths + S
     else:
         positions = cache_positions[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
+        if active is not None:
+            write_pos = jnp.where(active, cache_positions, cache.max_seq)
+            new_lengths = cache.lengths + active.astype(jnp.int32)
+        else:
+            write_pos = cache_positions
+            new_lengths = cache.lengths + S
 
-    x = params["embed"][tokens]
+    if inputs_embeds is not None:
+        x = inputs_embeds
+    else:
+        x = params["embed"][tokens]
     if cfg.embed_scale is not None:
         x = (x.astype(jnp.float32) * cfg.embed_scale).astype(x.dtype)
 
@@ -204,11 +235,12 @@ def forward_hidden(
     for i in range(cfg.num_layers):
         x, new_layers[i] = decoder_layer(
             cfg, params["layers"][i], x, cache.layers[i],
-            positions, cache_positions, rope, layer_idx=i,
+            positions, write_pos, rope, layer_idx=i,
+            read_cache=read_cache, cache_row=cache_row,
         )
 
     x = rms_norm(x, params["final_norm"], eps=cfg.rms_norm_eps, weight_offset=cfg.norm_weight_offset)
-    new_cache = KVCache(layers=tuple(new_layers), lengths=cache.lengths + S)
+    new_cache = KVCache(layers=tuple(new_layers), lengths=new_lengths)
     return x, new_cache
 
 

@@ -40,23 +40,33 @@ class LayerKVCache:
     def max_seq(self) -> int:
         return self.k.shape[1]
 
-    def update(self, k_new: jax.Array, v_new: jax.Array, positions: jax.Array) -> "LayerKVCache":
+    def update(
+        self,
+        k_new: jax.Array,
+        v_new: jax.Array,
+        positions: jax.Array,
+        row: jax.Array | None = None,
+    ) -> "LayerKVCache":
         """Write ``k_new/v_new`` ``[B, S_new, H, D]`` at ``positions``.
 
         ``positions`` is either a scalar start index (all rows share it — the
         prefill path, lowered to a dynamic-update-slice) or ``[B]`` per-row
-        start indices (ragged batched decode with S_new == 1).
+        start indices (ragged batched decode with S_new == 1). ``row`` offsets
+        the batch row for scalar-position writes (slot-targeted prefill into a
+        multi-slot serving cache). Per-row positions ``>= max_seq`` are
+        DROPPED (inactive-slot masking in the serving engine).
         """
         if positions.ndim == 0:
-            k = jax.lax.dynamic_update_slice(self.k, k_new.astype(self.k.dtype), (0, positions, 0, 0))
-            v = jax.lax.dynamic_update_slice(self.v, v_new.astype(self.v.dtype), (0, positions, 0, 0))
+            r = jnp.asarray(0 if row is None else row, jnp.int32)
+            k = jax.lax.dynamic_update_slice(self.k, k_new.astype(self.k.dtype), (r, positions, 0, 0))
+            v = jax.lax.dynamic_update_slice(self.v, v_new.astype(self.v.dtype), (r, positions, 0, 0))
             return LayerKVCache(k=k, v=v)
         assert positions.ndim == 1 and k_new.shape[1] == 1, (
             "per-row positions require S_new == 1 (batched decode)"
         )
         b = jnp.arange(k_new.shape[0])[:, None]
-        k = self.k.at[b, positions[:, None]].set(k_new.astype(self.k.dtype))
-        v = self.v.at[b, positions[:, None]].set(v_new.astype(self.v.dtype))
+        k = self.k.at[b, positions[:, None]].set(k_new.astype(self.k.dtype), mode="drop")
+        v = self.v.at[b, positions[:, None]].set(v_new.astype(self.v.dtype), mode="drop")
         return LayerKVCache(k=k, v=v)
 
 
@@ -108,11 +118,18 @@ class QuantLayerKVCache:
     def max_seq(self) -> int:
         return self.k.shape[1]
 
-    def update(self, k_new: jax.Array, v_new: jax.Array, positions: jax.Array) -> "QuantLayerKVCache":
+    def update(
+        self,
+        k_new: jax.Array,
+        v_new: jax.Array,
+        positions: jax.Array,
+        row: jax.Array | None = None,
+    ) -> "QuantLayerKVCache":
         kq, ks = _quant_symmetric(k_new, self.bits)
         vq, vs = _quant_symmetric(v_new, self.bits)
         if positions.ndim == 0:
-            at = (0, positions, 0, 0)
+            r = jnp.asarray(0 if row is None else row, jnp.int32)
+            at = (r, positions, 0, 0)
             return QuantLayerKVCache(
                 k=jax.lax.dynamic_update_slice(self.k, kq, at),
                 v=jax.lax.dynamic_update_slice(self.v, vq, at),
@@ -124,10 +141,10 @@ class QuantLayerKVCache:
         b = jnp.arange(k_new.shape[0])[:, None]
         p = positions[:, None]
         return QuantLayerKVCache(
-            k=self.k.at[b, p].set(kq),
-            v=self.v.at[b, p].set(vq),
-            k_scale=self.k_scale.at[b, p].set(ks),
-            v_scale=self.v_scale.at[b, p].set(vs),
+            k=self.k.at[b, p].set(kq, mode="drop"),
+            v=self.v.at[b, p].set(vq, mode="drop"),
+            k_scale=self.k_scale.at[b, p].set(ks, mode="drop"),
+            v_scale=self.v_scale.at[b, p].set(vs, mode="drop"),
             bits=self.bits,
         )
 

@@ -1,0 +1,435 @@
+"""OpenAI- and SGLang-compatible HTTP server.
+
+Reference behavior (/root/reference/crane-serve/src/{lib.rs,handlers/}):
+endpoints /health, /health_generate, /v1/stats, /v1/models[/id],
+/v1/chat/completions, /v1/completions, /tokenize (+/v1), /detokenize, SGLang
+/generate, /model_info, /server_info, /flush_cache, /abort_request; SSE chunk
+protocol with a role-announce first chunk and optional usage chunk
+(handlers/sse.rs:18-110); default sampling temp 0.8 / top_p 0.95 / top_k 40 /
+repetition 1.05 (handlers/openai.rs:34-120).
+
+The HTTP front is aiohttp (async); the engine runs on its own thread, bridged
+by thread-safe queues — the same async-front/engine-thread split as the
+reference's tokio + dedicated OS thread design.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+import time
+import uuid
+from typing import Any, Optional
+
+from aiohttp import web
+
+from crane_tpu.serve.engine import InferenceEngine
+from crane_tpu.serve.sequence import EngineRequest, FinishReason, SamplingOptions
+
+log = logging.getLogger("crane_tpu.api")
+
+
+def _sampling_from_payload(p: dict, prefix_defaults=True) -> SamplingOptions:
+    temp = p.get("temperature", 0.8)
+    return SamplingOptions(
+        temperature=float(temp),
+        top_k=int(p.get("top_k", 40)),
+        top_p=float(p.get("top_p", 0.95)),
+        repetition_penalty=float(p.get("repetition_penalty", 1.05)),
+        do_sample=bool(p.get("do_sample", temp > 0)),
+        seed=int(p.get("seed", 0)),
+    )
+
+
+class Server:
+    def __init__(
+        self,
+        engine: InferenceEngine,
+        *,
+        model_name: str = "crane-tpu",
+        eos_token_ids: tuple[int, ...] = (),
+    ):
+        self.engine = engine
+        self.model_name = model_name
+        self.eos_token_ids = tuple(eos_token_ids) or tuple(engine.lm.eos_token_ids)
+        self.tokenizer = engine.lm.tokenizer
+        self.created = int(time.time())
+
+    # -- request plumbing ----------------------------------------------------
+    async def _stream_responses(self, q):
+        loop = asyncio.get_running_loop()
+        while True:
+            r = await loop.run_in_executor(None, q.get)
+            yield r
+            if r.finished:
+                return
+
+    def _make_request(self, prompt_ids, payload, rid=None) -> EngineRequest:
+        return EngineRequest(
+            request_id=rid or f"req-{uuid.uuid4().hex[:16]}",
+            prompt_ids=list(prompt_ids),
+            max_new_tokens=int(
+                payload.get("max_tokens")
+                or payload.get("max_completion_tokens")
+                or payload.get("max_new_tokens")
+                or 512
+            ),
+            sampling=_sampling_from_payload(payload),
+            eos_token_ids=self.eos_token_ids,
+        )
+
+    # -- misc endpoints ------------------------------------------------------
+    async def health(self, request):
+        return web.json_response({"status": "ok"})
+
+    async def health_generate(self, request):
+        """Deep health check: run one tiny generation through the engine."""
+        req = EngineRequest(
+            request_id=f"health-{uuid.uuid4().hex[:8]}",
+            prompt_ids=[1], max_new_tokens=1,
+            sampling=SamplingOptions(do_sample=False),
+        )
+        q = self.engine.submit(req)
+        async for r in self._stream_responses(q):
+            if r.finished and r.error:
+                return web.json_response({"status": "error", "error": r.error}, status=500)
+        return web.json_response({"status": "ok"})
+
+    async def stats(self, request):
+        return web.json_response(
+            self.engine.stats.snapshot(
+                running=len(self.engine.scheduler.running),
+                waiting=len(self.engine.scheduler.waiting),
+            )
+        )
+
+    async def models(self, request):
+        return web.json_response(
+            {
+                "object": "list",
+                "data": [
+                    {
+                        "id": self.model_name,
+                        "object": "model",
+                        "created": self.created,
+                        "owned_by": "crane-tpu",
+                    }
+                ],
+            }
+        )
+
+    async def model_by_id(self, request):
+        mid = request.match_info["model_id"]
+        if mid != self.model_name:
+            return web.json_response({"error": "model not found"}, status=404)
+        return web.json_response(
+            {"id": mid, "object": "model", "created": self.created, "owned_by": "crane-tpu"}
+        )
+
+    async def tokenize(self, request):
+        p = await request.json()
+        text = p.get("text") or p.get("prompt") or ""
+        ids = self.tokenizer.encode(text)
+        return web.json_response({"tokens": ids, "count": len(ids)})
+
+    async def detokenize(self, request):
+        p = await request.json()
+        ids = p.get("tokens") or []
+        return web.json_response({"text": self.tokenizer.decode(ids)})
+
+    # -- SGLang-compatible ---------------------------------------------------
+    async def model_info(self, request):
+        return web.json_response(
+            {
+                "model_path": self.model_name,
+                "tokenizer_path": self.model_name,
+                "is_generation": True,
+            }
+        )
+
+    async def server_info(self, request):
+        snap = self.engine.stats.snapshot(
+            running=len(self.engine.scheduler.running),
+            waiting=len(self.engine.scheduler.waiting),
+        )
+        return web.json_response(
+            {
+                "model_path": self.model_name,
+                "max_num_reqs": self.engine.max_slots,
+                "max_seq_len": self.engine.max_seq_len,
+                **snap,
+            }
+        )
+
+    async def flush_cache(self, request):
+        # static slots: nothing to free while sequences are running; idle
+        # slots hold no reachable state. Parity endpoint.
+        return web.json_response({"status": "ok", "message": "cache flushed"})
+
+    async def abort_request(self, request):
+        p = await request.json()
+        rid = p.get("rid") or p.get("request_id")
+        if not rid:
+            return web.json_response({"error": "missing rid"}, status=400)
+        self.engine.abort(rid)
+        return web.json_response({"status": "ok"})
+
+    async def generate(self, request):
+        """SGLang /generate: {text | input_ids, sampling_params, stream}."""
+        p = await request.json()
+        sp = p.get("sampling_params") or {}
+        if "input_ids" in p:
+            ids = p["input_ids"]
+        else:
+            ids = self.tokenizer.encode(p.get("text", ""))
+        payload = {**sp, "max_tokens": sp.get("max_new_tokens", 128)}
+        req = self._make_request(ids, payload, rid=p.get("rid"))
+        q = self.engine.submit(req)
+
+        if p.get("stream"):
+            resp = web.StreamResponse(
+                headers={"Content-Type": "text/event-stream", "Cache-Control": "no-cache"}
+            )
+            await resp.prepare(request)
+            text = ""
+            async for r in self._stream_responses(q):
+                if r.error:
+                    break
+                if r.text:
+                    text += r.text
+                    chunk = {"text": text, "meta_info": {"id": req.request_id}}
+                    await resp.write(f"data: {json.dumps(chunk)}\n\n".encode())
+            await resp.write(b"data: [DONE]\n\n")
+            await resp.write_eof()
+            return resp
+
+        text, n_gen, reason, err = "", 0, None, None
+        async for r in self._stream_responses(q):
+            if r.text:
+                text += r.text
+            if r.finished:
+                n_gen, reason, err = r.n_generated, r.finish_reason, r.error
+        if err:
+            return web.json_response({"error": err}, status=400)
+        return web.json_response(
+            {
+                "text": text,
+                "meta_info": {
+                    "id": req.request_id,
+                    "prompt_tokens": len(req.prompt_ids),
+                    "completion_tokens": n_gen,
+                    "finish_reason": {"type": reason.value if reason else None},
+                },
+            }
+        )
+
+    # -- OpenAI chat/completions ---------------------------------------------
+    def _render_chat(self, payload: dict) -> str:
+        messages = payload["messages"]
+        kw = {}
+        if "chat_template_kwargs" in payload:
+            kw.update(payload["chat_template_kwargs"])
+        return self.tokenizer.apply_chat_template(
+            messages,
+            tools=payload.get("tools"),
+            add_generation_prompt=True,
+            **kw,
+        )
+
+    async def chat_completions(self, request):
+        payload = await request.json()
+        try:
+            prompt = self._render_chat(payload)
+        except Exception as e:  # template errors -> 400
+            return web.json_response({"error": {"message": str(e)}}, status=400)
+        ids = self.tokenizer.encode(prompt)
+        req = self._make_request(ids, payload)
+        q = self.engine.submit(req)
+        if payload.get("stream"):
+            return await self._sse_chat(request, req, q, payload)
+        return await self._collect_chat(req, q)
+
+    async def completions(self, request):
+        payload = await request.json()
+        prompt = payload.get("prompt", "")
+        if isinstance(prompt, list):
+            prompt = prompt[0] if prompt else ""
+        ids = self.tokenizer.encode(prompt)
+        req = self._make_request(ids, payload)
+        q = self.engine.submit(req)
+
+        text, n_gen, reason, err = "", 0, None, None
+        async for r in self._stream_responses(q):
+            if r.text:
+                text += r.text
+            if r.finished:
+                n_gen, reason, err = r.n_generated, r.finish_reason, r.error
+        if err:
+            return web.json_response({"error": {"message": err}}, status=400)
+        return web.json_response(
+            {
+                "id": req.request_id,
+                "object": "text_completion",
+                "created": int(time.time()),
+                "model": self.model_name,
+                "choices": [
+                    {
+                        "index": 0,
+                        "text": text,
+                        "finish_reason": reason.value if reason else None,
+                    }
+                ],
+                "usage": {
+                    "prompt_tokens": len(req.prompt_ids),
+                    "completion_tokens": n_gen,
+                    "total_tokens": len(req.prompt_ids) + n_gen,
+                },
+            }
+        )
+
+    async def _collect_chat(self, req, q):
+        text, n_gen, reason, err = "", 0, None, None
+        async for r in self._stream_responses(q):
+            if r.text:
+                text += r.text
+            if r.finished:
+                n_gen, reason, err = r.n_generated, r.finish_reason, r.error
+        if err:
+            return web.json_response({"error": {"message": err}}, status=400)
+        return web.json_response(
+            {
+                "id": req.request_id,
+                "object": "chat.completion",
+                "created": int(time.time()),
+                "model": self.model_name,
+                "choices": [
+                    {
+                        "index": 0,
+                        "message": {"role": "assistant", "content": text},
+                        "finish_reason": reason.value if reason else None,
+                    }
+                ],
+                "usage": {
+                    "prompt_tokens": len(req.prompt_ids),
+                    "completion_tokens": n_gen,
+                    "total_tokens": len(req.prompt_ids) + n_gen,
+                },
+            }
+        )
+
+    async def _sse_chat(self, request, req, q, payload):
+        """SSE protocol: role-announce first chunk, content deltas, final
+        finish chunk, optional usage chunk, [DONE] (reference sse.rs)."""
+        resp = web.StreamResponse(
+            headers={"Content-Type": "text/event-stream", "Cache-Control": "no-cache"}
+        )
+        await resp.prepare(request)
+        created = int(time.time())
+
+        def chunk(delta: dict, finish: Optional[str] = None) -> bytes:
+            body = {
+                "id": req.request_id,
+                "object": "chat.completion.chunk",
+                "created": created,
+                "model": self.model_name,
+                "choices": [{"index": 0, "delta": delta, "finish_reason": finish}],
+            }
+            return f"data: {json.dumps(body)}\n\n".encode()
+
+        await resp.write(chunk({"role": "assistant"}))
+        n_gen, reason = 0, None
+        try:
+            async for r in self._stream_responses(q):
+                if r.text:
+                    await resp.write(chunk({"content": r.text}))
+                if r.finished:
+                    n_gen, reason = r.n_generated, r.finish_reason
+        except (ConnectionResetError, asyncio.CancelledError):
+            self.engine.abort(req.request_id)
+            raise
+        await resp.write(chunk({}, finish=reason.value if reason else "stop"))
+        if (payload.get("stream_options") or {}).get("include_usage"):
+            usage = {
+                "id": req.request_id,
+                "object": "chat.completion.chunk",
+                "created": created,
+                "model": self.model_name,
+                "choices": [],
+                "usage": {
+                    "prompt_tokens": len(req.prompt_ids),
+                    "completion_tokens": n_gen,
+                    "total_tokens": len(req.prompt_ids) + n_gen,
+                },
+            }
+            await resp.write(f"data: {json.dumps(usage)}\n\n".encode())
+        await resp.write(b"data: [DONE]\n\n")
+        await resp.write_eof()
+        return resp
+
+
+def build_app(server: Server) -> web.Application:
+    app = web.Application(client_max_size=25 * 1024 * 1024)  # 25 MiB, ref lib.rs:676-684
+    r = app.router
+    r.add_get("/health", server.health)
+    r.add_get("/health_generate", server.health_generate)
+    r.add_get("/v1/stats", server.stats)
+    r.add_get("/v1/models", server.models)
+    r.add_get("/v1/models/{model_id}", server.model_by_id)
+    r.add_post("/v1/chat/completions", server.chat_completions)
+    r.add_post("/v1/completions", server.completions)
+    r.add_post("/tokenize", server.tokenize)
+    r.add_post("/v1/tokenize", server.tokenize)
+    r.add_post("/detokenize", server.detokenize)
+    r.add_post("/v1/detokenize", server.detokenize)
+    # SGLang-compatible
+    r.add_post("/generate", server.generate)
+    r.add_get("/model_info", server.model_info)
+    r.add_get("/server_info", server.server_info)
+    r.add_post("/flush_cache", server.flush_cache)
+    r.add_post("/abort_request", server.abort_request)
+    return app
+
+
+def main(argv=None):
+    import argparse
+
+    import jax.numpy as jnp
+
+    from crane_tpu.models.auto import from_pretrained
+
+    ap = argparse.ArgumentParser("crane_tpu.serve")
+    ap.add_argument("--model-path", required=True)
+    ap.add_argument("--model-name", default=None)
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--max-concurrent", type=int, default=8)
+    ap.add_argument("--max-seq-len", type=int, default=2048)
+    ap.add_argument("--decode-tokens-per-seq", type=int, default=8)
+    ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    ap.add_argument("--quant", default=None, choices=[None, "q8", "q4"])
+    ap.add_argument("--kv-quant", default=None, choices=[None, "int8", "int4"])
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    quant_bits = {"q8": 8, "q4": 4}.get(args.quant)
+    lm = from_pretrained(args.model_path, dtype=dtype, quant_bits=quant_bits)
+    engine = InferenceEngine(
+        lm,
+        max_slots=args.max_concurrent,
+        max_seq_len=args.max_seq_len,
+        decode_tokens_per_seq=args.decode_tokens_per_seq,
+        kv_quant_bits={"int8": 8, "int4": 4}.get(args.kv_quant),
+    )
+    log.info("warming up (compiling prefill/decode programs)...")
+    engine.warmup()
+    engine.start()
+    name = args.model_name or args.model_path.rstrip("/").split("/")[-1]
+    server = Server(engine, model_name=name)
+    app = build_app(server)
+    web.run_app(app, host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()

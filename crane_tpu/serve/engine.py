@@ -1,0 +1,296 @@
+"""Continuous-batching inference engine on static KV slots.
+
+Reference behavior (/root/reference/crane-serve/src/engine/mod.rs): a dedicated
+engine thread drains requests, prefills one prompt per step (prefill
+priority), batch-decodes all running sequences ``decode_tokens_per_seq``
+rounds at a time, streams tokens through per-request channels, and evicts
+lazily (finished sequences stay in the batch until the block ends).
+
+TPU-native design (SURVEY.md §7): the reference's per-sequence dynamic KV
+tensors + swap-in/out + pad-and-stack exist because Candle tensors are
+dynamically shaped. Here ONE static ``[max_slots, max_seq]`` cache holds every
+sequence; admission = prefill directly into a free slot row; batched decode
+runs over all slots with an activity mask; eviction = clearing a host-side
+bit. No tensor ever changes shape, so the engine never recompiles after
+warmup, and there is no swap/extract machinery at all. The memory governor
+reduces to static sizing at startup + prompt-length admission control (HBM is
+fully committed up front — the honest TPU translation of the reference's
+KV-budget + preemption logic, which exists to handle dynamic growth).
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+import time
+import uuid
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from crane_tpu.models.causal_lm import CausalLM
+from crane_tpu.ops.sampling import SamplingParams, sample, update_recent
+from crane_tpu.serve.scheduler import Scheduler
+from crane_tpu.serve.sequence import (
+    EngineRequest,
+    EngineResponse,
+    FinishReason,
+    Sequence,
+)
+from crane_tpu.serve.stats import EngineStats
+from crane_tpu.tokenizer.token_stream import TokenOutputStream
+from crane_tpu.utils.buckets import bucket_length
+
+log = logging.getLogger("crane_tpu.engine")
+
+RECENT_WINDOW = 64  # repetition-penalty window (reference repeat_last_n default)
+
+
+class InferenceEngine:
+    def __init__(
+        self,
+        lm: CausalLM,
+        *,
+        max_slots: int = 8,
+        max_seq_len: int = 2048,
+        decode_tokens_per_seq: int = 8,
+        kv_quant_bits: int | None = None,
+    ):
+        self.lm = lm
+        self.max_slots = max_slots
+        self.max_seq_len = max_seq_len
+        self.decode_tokens_per_seq = decode_tokens_per_seq
+
+        self.cache = lm.init_cache(max_slots, max_seq_len, quant_bits=kv_quant_bits)
+        self.recent = jnp.full((max_slots, RECENT_WINDOW), -1, jnp.int32)
+        self.sp = SamplingParams.make(max_slots)
+        self.cur_tokens = jnp.zeros((max_slots,), jnp.int32)
+        self.active = np.zeros((max_slots,), bool)
+        self.slots: list[Optional[Sequence]] = [None] * max_slots
+
+        self.scheduler = Scheduler(max_running=max_slots)
+        self.stats = EngineStats()
+        self.request_q: "queue.Queue" = queue.Queue()
+        self._abort_ids: set[str] = set()
+        self._key = jax.random.PRNGKey(0)
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._lock = threading.Lock()
+
+    # -- public API (thread-safe) -------------------------------------------
+    def submit(self, request: EngineRequest) -> "queue.Queue[EngineResponse]":
+        q: "queue.Queue[EngineResponse]" = queue.Queue()
+        seq = Sequence(request, q)
+        self.request_q.put(seq)
+        return q
+
+    def abort(self, request_id: str):
+        with self._lock:
+            self._abort_ids.add(request_id)
+
+    def start(self):
+        self._thread = threading.Thread(target=self.run, name="engine", daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=30)
+
+    def warmup(self):
+        """Compile the prefill buckets + decode programs before serving."""
+        t0 = time.perf_counter()
+        s = 64
+        while s <= self.max_seq_len:
+            tok = np.zeros((1, s), np.int32)
+            _, self.cache = self.lm.prefill_slot(self.cache, tok, 0, 1)
+            s *= 2
+        for n in sorted({1, self.decode_tokens_per_seq}):
+            out, self.cache, self.recent = self.lm.decode_active(
+                self.cache, self.cur_tokens, self.recent, self.sp,
+                self._key, self.active, n,
+            )
+            out.block_until_ready()
+        # reset state touched by warmup
+        self.cache = jax.tree.map(lambda a: jnp.zeros_like(a), self.cache)
+        self.recent = jnp.full((self.max_slots, RECENT_WINDOW), -1, jnp.int32)
+        log.info("warmup done in %.1fs", time.perf_counter() - t0)
+
+    # -- engine loop ---------------------------------------------------------
+    def run(self):
+        while not self._stop.is_set():
+            did_work = self.step()
+            if not did_work:
+                try:
+                    seq = self.request_q.get(timeout=0.05)
+                    self.scheduler.add(seq)
+                    self.stats.requests_received += 1
+                except queue.Empty:
+                    pass
+
+    def step(self) -> bool:
+        self.stats.engine_steps += 1
+        self._drain_requests()
+        self._check_aborted()
+
+        seq = self.scheduler.next_prefill()
+        if seq is not None:
+            self._admit(seq)
+            return True
+
+        if any(self.active):
+            n = 1 if self.scheduler.waiting else self.decode_tokens_per_seq
+            self._decode_block(n)
+            return True
+        return False
+
+    # -- internals -----------------------------------------------------------
+    def _drain_requests(self):
+        while True:
+            try:
+                seq = self.request_q.get_nowait()
+            except queue.Empty:
+                return
+            self.scheduler.add(seq)
+            self.stats.requests_received += 1
+
+    def _check_aborted(self):
+        with self._lock:
+            ids, self._abort_ids = self._abort_ids, set()
+        for rid in ids:
+            if self.scheduler.drop_waiting(rid):
+                self.stats.requests_aborted += 1
+                continue
+            for seq in self.scheduler.running:
+                if seq.request_id == rid:
+                    seq.cancelled = True
+        # client-disconnect style cancellation
+        for slot, seq in enumerate(self.slots):
+            if seq is not None and seq.cancelled:
+                self._finish(seq, FinishReason.ABORT)
+
+    def _free_slot(self) -> int:
+        for i, s in enumerate(self.slots):
+            if s is None:
+                return i
+        raise RuntimeError("no free slot (scheduler bug)")
+
+    def _admit(self, seq: Sequence):
+        req = seq.request
+        if seq.prompt_len == 0:
+            seq.send_error("empty prompt")
+            self.stats.requests_failed += 1
+            return
+        if seq.prompt_len + 1 >= self.max_seq_len:
+            # prompt-too-long rejection (reference engine/mod.rs:651-665)
+            seq.send_error(
+                f"prompt length {seq.prompt_len} exceeds max_seq_len {self.max_seq_len}"
+            )
+            self.stats.requests_failed += 1
+            return
+        # clamp generation budget to the slot capacity
+        budget = self.max_seq_len - seq.prompt_len - 1
+        req.max_new_tokens = min(req.max_new_tokens, budget)
+
+        slot = self._free_slot()
+        seq.slot = slot
+        t0 = time.perf_counter()
+
+        s_bucket = bucket_length(seq.prompt_len, floor=64, ceiling=self.max_seq_len)
+        padded = np.zeros((1, s_bucket), np.int32)
+        padded[0, : seq.prompt_len] = req.prompt_ids
+
+        logits, self.cache = self.lm.prefill_slot(
+            self.cache, padded, slot, seq.prompt_len
+        )
+
+        # per-slot sampling state
+        s = req.sampling
+        self.sp = SamplingParams(
+            temperature=self.sp.temperature.at[slot].set(s.temperature),
+            top_k=self.sp.top_k.at[slot].set(s.top_k),
+            top_p=self.sp.top_p.at[slot].set(s.top_p),
+            repetition_penalty=self.sp.repetition_penalty.at[slot].set(s.repetition_penalty),
+            do_sample=self.sp.do_sample.at[slot].set(s.do_sample),
+        )
+        tail = np.full((RECENT_WINDOW,), -1, np.int32)
+        if s.repetition_penalty != 1.0:
+            t = np.asarray(req.prompt_ids[-RECENT_WINDOW:], np.int32)
+            tail[-len(t):] = t
+        self.recent = self.recent.at[slot].set(tail)
+
+        # sample the first token with this slot's params
+        self._key, sub = jax.random.split(self._key)
+        sp1 = jax.tree.map(lambda a: a[seq.slot : seq.slot + 1], self.sp)
+        first = sample(logits, sp1, self.recent[slot : slot + 1], sub)
+        self.recent = self.recent.at[slot].set(
+            update_recent(self.recent[slot : slot + 1], first)[0]
+        )
+        self.cur_tokens = self.cur_tokens.at[slot].set(first[0])
+
+        self.slots[slot] = seq
+        self.active[slot] = True
+        self.scheduler.promote(seq)
+        self.stats.prompt_tokens += seq.prompt_len
+        self.stats.prefill_time_s += time.perf_counter() - t0
+
+        if self.lm.tokenizer is not None:
+            seq.detok = TokenOutputStream(self.lm.tokenizer)
+        else:
+            seq.detok = None
+        self._emit(seq, int(first[0]))
+
+    def _emit(self, seq: Sequence, token: int) -> bool:
+        """Record + stream one token; returns False when the seq finished."""
+        seq.generated.append(token)
+        reason = seq.should_stop(token)
+        is_eos = reason == FinishReason.STOP
+        text = None
+        if seq.detok is not None and not is_eos:
+            text = seq.detok.next_token(token)
+        if not is_eos:
+            seq.send_token(token, text)
+        if reason is not None:
+            self._finish(seq, reason)
+            return False
+        return True
+
+    def _finish(self, seq: Sequence, reason: FinishReason):
+        if seq.slot >= 0 and self.slots[seq.slot] is seq:
+            self.active[seq.slot] = False
+            self.slots[seq.slot] = None
+        self.scheduler.finish(seq)
+        if seq.detok is not None:
+            rest = seq.detok.decode_rest()
+            if rest:
+                seq.response_q.put(
+                    EngineResponse(seq.request_id, token=None, text=rest,
+                                   n_generated=len(seq.generated))
+                )
+        if reason == FinishReason.ABORT:
+            self.stats.requests_aborted += 1
+        else:
+            self.stats.requests_completed += 1
+        self.stats.generated_tokens += len(seq.generated)
+        seq.send_finished(reason)
+
+    def _decode_block(self, n_steps: int):
+        t0 = time.perf_counter()
+        self._key, sub = jax.random.split(self._key)
+        out, self.cache, self.recent = self.lm.decode_active(
+            self.cache, self.cur_tokens, self.recent, self.sp, sub,
+            self.active, n_steps,
+        )
+        self.cur_tokens = out[:, -1]
+        tokens = np.asarray(out)  # one DtoH per block
+        for slot in range(self.max_slots):
+            seq = self.slots[slot]
+            if seq is None or not self.active[slot]:
+                continue
+            for j in range(n_steps):
+                if not self._emit(seq, int(tokens[slot, j])):
+                    break
+        self.stats.decode_time_s += time.perf_counter() - t0

@@ -1,0 +1,105 @@
+"""Per-request sequence state (reference crane-serve/src/engine/sequence.rs).
+
+A Sequence tracks one in-flight request: prompt, generated tokens, sampling
+parameters, streaming channel, and its KV slot. Responses flow through a
+thread-safe queue to the HTTP layer (the reference's mpsc ``response_tx``)."""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import queue
+import time
+from typing import Optional
+
+
+class FinishReason(str, enum.Enum):
+    STOP = "stop"          # hit an EOS token
+    LENGTH = "length"      # hit max_new_tokens / max_seq_len
+    ABORT = "abort"        # cancelled by client or /abort_request
+    ERROR = "error"
+
+
+@dataclasses.dataclass
+class SamplingOptions:
+    temperature: float = 0.8
+    top_k: int = 40
+    top_p: float = 0.95
+    repetition_penalty: float = 1.05
+    do_sample: bool = True
+    seed: int = 0
+
+
+@dataclasses.dataclass
+class EngineRequest:
+    request_id: str
+    prompt_ids: list[int]
+    max_new_tokens: int = 512
+    sampling: SamplingOptions = dataclasses.field(default_factory=SamplingOptions)
+    eos_token_ids: tuple[int, ...] = ()
+
+
+@dataclasses.dataclass
+class EngineResponse:
+    """One streamed event: a token, the end of stream, or an error."""
+
+    request_id: str
+    token: Optional[int] = None
+    text: Optional[str] = None
+    finished: bool = False
+    finish_reason: Optional[FinishReason] = None
+    error: Optional[str] = None
+    n_prompt_tokens: int = 0
+    n_generated: int = 0
+
+
+class Sequence:
+    def __init__(self, request: EngineRequest, response_q: "queue.Queue[EngineResponse]"):
+        self.request = request
+        self.response_q = response_q
+        self.generated: list[int] = []
+        self.slot: int = -1
+        self.detok = None  # TokenOutputStream attached by the engine
+        self.finish_reason: Optional[FinishReason] = None
+        self.cancelled = False
+        self.submitted_at = time.monotonic()
+        self.first_token_at: Optional[float] = None
+
+    @property
+    def request_id(self) -> str:
+        return self.request.request_id
+
+    @property
+    def prompt_len(self) -> int:
+        return len(self.request.prompt_ids)
+
+    def should_stop(self, token: int) -> Optional[FinishReason]:
+        if token in self.request.eos_token_ids:
+            return FinishReason.STOP
+        if len(self.generated) >= self.request.max_new_tokens:
+            return FinishReason.LENGTH
+        return None
+
+    def send_token(self, token: int, text: Optional[str] = None):
+        if self.first_token_at is None:
+            self.first_token_at = time.monotonic()
+        self.response_q.put(
+            EngineResponse(self.request_id, token=token, text=text,
+                           n_generated=len(self.generated))
+        )
+
+    def send_finished(self, reason: FinishReason):
+        self.finish_reason = reason
+        self.response_q.put(
+            EngineResponse(
+                self.request_id, finished=True, finish_reason=reason,
+                n_prompt_tokens=self.prompt_len, n_generated=len(self.generated),
+            )
+        )
+
+    def send_error(self, message: str):
+        self.finish_reason = FinishReason.ERROR
+        self.response_q.put(
+            EngineResponse(self.request_id, finished=True,
+                           finish_reason=FinishReason.ERROR, error=message)
+        )

@@ -1,0 +1,43 @@
+"""Engine statistics (reference crane-serve/src/engine/stats.rs:6-92).
+
+Plain counters mutated only on the engine thread; snapshots are cheap dict
+copies exposed at /v1/stats and the SGLang /server_info endpoint."""
+
+from __future__ import annotations
+
+import time
+
+
+class EngineStats:
+    def __init__(self):
+        self.started_at = time.monotonic()
+        self.requests_received = 0
+        self.requests_completed = 0
+        self.requests_aborted = 0
+        self.requests_failed = 0
+        self.prompt_tokens = 0
+        self.generated_tokens = 0
+        self.prefill_time_s = 0.0
+        self.decode_time_s = 0.0
+        self.engine_steps = 0
+
+    def snapshot(self, *, running: int = 0, waiting: int = 0) -> dict:
+        uptime = time.monotonic() - self.started_at
+        return {
+            "uptime_s": round(uptime, 3),
+            "requests_received": self.requests_received,
+            "requests_completed": self.requests_completed,
+            "requests_aborted": self.requests_aborted,
+            "requests_failed": self.requests_failed,
+            "prompt_tokens": self.prompt_tokens,
+            "generated_tokens": self.generated_tokens,
+            "engine_steps": self.engine_steps,
+            "running": running,
+            "waiting": waiting,
+            "prefill_tok_s": round(
+                self.prompt_tokens / self.prefill_time_s, 2
+            ) if self.prefill_time_s > 0 else 0.0,
+            "decode_tok_s": round(
+                self.generated_tokens / self.decode_time_s, 2
+            ) if self.decode_time_s > 0 else 0.0,
+        }

@@ -1,0 +1,165 @@
+"""Serving-engine tests: static-slot continuous batching correctness.
+
+Mirrors the reference's engine test strategy (scheduler/sequence/stats tests +
+batch-vs-single consistency, SURVEY.md §4) on a tiny random model."""
+
+import queue
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from crane_tpu.generation.config import GenerationConfig
+from crane_tpu.models.causal_lm import CausalLM
+from crane_tpu.models.init import QWEN3_TINY, init_params
+from crane_tpu.serve.engine import InferenceEngine
+from crane_tpu.serve.sequence import EngineRequest, FinishReason, SamplingOptions
+
+
+@pytest.fixture(scope="module")
+def lm():
+    params = init_params(QWEN3_TINY, seed=0, dtype=jnp.float32)
+    return CausalLM(QWEN3_TINY, params, dtype=jnp.float32)
+
+
+def greedy_request(rid, prompt, n=8, eos=()):
+    return EngineRequest(
+        request_id=rid, prompt_ids=prompt, max_new_tokens=n,
+        sampling=SamplingOptions(do_sample=False, repetition_penalty=1.0),
+        eos_token_ids=eos,
+    )
+
+
+def collect(q):
+    toks, reason = [], None
+    while True:
+        r = q.get(timeout=60)
+        if r.finished:
+            reason = r.finish_reason
+            assert r.error is None, r.error
+            break
+        if r.token is not None:
+            toks.append(r.token)
+    return toks, reason
+
+
+def run_until_idle(engine, max_steps=500):
+    for _ in range(max_steps):
+        if not engine.step() and engine.request_q.empty():
+            return
+    raise AssertionError("engine did not drain")
+
+
+class TestEngine:
+    def test_single_request_matches_generate(self, lm):
+        prompt = [3, 14, 15, 92, 6]
+        expected = lm.generate(prompt, GenerationConfig.greedy(8))
+
+        engine = InferenceEngine(lm, max_slots=4, max_seq_len=128)
+        q = engine.submit(greedy_request("r1", prompt))
+        run_until_idle(engine)
+        toks, reason = collect(q)
+        assert toks == expected
+        assert reason == FinishReason.LENGTH
+
+    def test_concurrent_requests_match_single(self, lm):
+        prompts = [[3, 14, 15], [92, 6, 44, 12, 7], [1], [5, 5, 5, 5]]
+        expected = [lm.generate(p, GenerationConfig.greedy(6)) for p in prompts]
+
+        engine = InferenceEngine(lm, max_slots=4, max_seq_len=128,
+                                 decode_tokens_per_seq=4)
+        qs = [engine.submit(greedy_request(f"r{i}", p, n=6))
+              for i, p in enumerate(prompts)]
+        run_until_idle(engine)
+        for q, exp in zip(qs, expected):
+            toks, _ = collect(q)
+            assert toks == exp
+
+    def test_more_requests_than_slots(self, lm):
+        """Waiting queue drains as slots free (continuous batching)."""
+        prompts = [[i + 1, i + 2] for i in range(6)]
+        expected = [lm.generate(p, GenerationConfig.greedy(4)) for p in prompts]
+        engine = InferenceEngine(lm, max_slots=2, max_seq_len=64,
+                                 decode_tokens_per_seq=2)
+        qs = [engine.submit(greedy_request(f"r{i}", p, n=4))
+              for i, p in enumerate(prompts)]
+        run_until_idle(engine)
+        for q, exp in zip(qs, expected):
+            toks, _ = collect(q)
+            assert toks == exp
+        assert engine.stats.requests_completed == 6
+
+    def test_eos_stops_early(self, lm):
+        prompt = [3, 14, 15]
+        full = lm.generate(prompt, GenerationConfig.greedy(8))
+        eos = full[2]  # third generated token acts as EOS
+        engine = InferenceEngine(lm, max_slots=2, max_seq_len=64)
+        q = engine.submit(greedy_request("r1", prompt, n=8, eos=(eos,)))
+        run_until_idle(engine)
+        toks, reason = collect(q)
+        assert reason == FinishReason.STOP
+        assert toks == full[:2]  # EOS itself not streamed
+
+    def test_prompt_too_long_rejected(self, lm):
+        engine = InferenceEngine(lm, max_slots=1, max_seq_len=32)
+        q = engine.submit(greedy_request("r1", list(range(40)), n=4))
+        run_until_idle(engine)
+        r = q.get(timeout=10)
+        assert r.finished and r.error is not None
+        assert engine.stats.requests_failed == 1
+
+    def test_abort_waiting_and_running(self, lm):
+        engine = InferenceEngine(lm, max_slots=1, max_seq_len=64,
+                                 decode_tokens_per_seq=1)
+        q1 = engine.submit(greedy_request("r1", [1, 2, 3], n=50))
+        q2 = engine.submit(greedy_request("r2", [4, 5], n=4))
+        # r1 admitted, r2 waits
+        engine.step()
+        engine.step()
+        engine.abort("r1")
+        run_until_idle(engine)
+        # r1 aborted, r2 completes
+        reason1 = None
+        while True:
+            r = q1.get(timeout=10)
+            if r.finished:
+                reason1 = r.finish_reason
+                break
+        assert reason1 == FinishReason.ABORT
+        toks2, reason2 = collect(q2)
+        assert len(toks2) == 4
+
+    def test_slot_reuse_is_clean(self, lm):
+        """A slot reused after a finished sequence must not leak KV."""
+        engine = InferenceEngine(lm, max_slots=1, max_seq_len=64)
+        p1, p2 = [9, 8, 7, 6, 5], [3, 14, 15]
+        exp2 = lm.generate(p2, GenerationConfig.greedy(5))
+        q1 = engine.submit(greedy_request("a", p1, n=3))
+        q2 = engine.submit(greedy_request("b", p2, n=5))
+        run_until_idle(engine)
+        collect(q1)
+        toks2, _ = collect(q2)
+        assert toks2 == exp2
+
+    def test_stats_snapshot(self, lm):
+        engine = InferenceEngine(lm, max_slots=2, max_seq_len=64)
+        q = engine.submit(greedy_request("r1", [1, 2, 3], n=4))
+        run_until_idle(engine)
+        collect(q)
+        snap = engine.stats.snapshot()
+        assert snap["requests_completed"] == 1
+        assert snap["prompt_tokens"] == 3
+        assert snap["generated_tokens"] == 4
+        assert snap["decode_tok_s"] >= 0
+
+
+class TestEngineThread:
+    def test_threaded_run(self, lm):
+        engine = InferenceEngine(lm, max_slots=2, max_seq_len=64)
+        engine.start()
+        try:
+            q = engine.submit(greedy_request("r1", [3, 14, 15], n=5))
+            toks, reason = collect(q)
+            assert len(toks) == 5
+        finally:
+            engine.stop()
