@@ -1,0 +1,181 @@
+"""GGUF -> crane_tpu model + tokenizer construction.
+
+Reference behavior: arch auto-detect from the ``general.architecture`` header
+(model_factory.rs:144-304), quantized layers built from GGUF content
+(hunyuan_dense/modeling.rs:13-78), and the embedded tokenizer rebuilt from
+``tokenizer.ggml.*`` metadata incl. chat template (autotokenizer.rs:162-230,
+utils/tokenizer_utils.rs).
+
+Quantized q8_0/q4_0 tensors can be kept quantized (mapped into the blockwise
+QuantizedWeight used by the quantized matmul); k-quants and float tensors are
+dequantized to the compute dtype.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from crane_tpu.loaders.gguf import (
+    GGML_Q4_0,
+    GGML_Q8_0,
+    GGUFReader,
+)
+from crane_tpu.models.modules.transformer import TransformerConfig
+from crane_tpu.ops.linear import QuantizedWeight
+
+
+def config_from_gguf(r: GGUFReader) -> TransformerConfig:
+    arch = r.architecture
+    if arch not in ("qwen3", "qwen2", "llama", "hunyuan-dense", "hunyuan_dense"):
+        raise ValueError(f"unsupported GGUF architecture {arch!r}")
+    heads = r.field("attention.head_count")
+    head_dim = r.field("attention.key_length") or (
+        r.field("embedding_length") // heads
+    )
+    n_vocab = len(r.metadata.get("tokenizer.ggml.tokens", [])) or r.field("vocab_size")
+    return TransformerConfig(
+        vocab_size=n_vocab,
+        hidden_size=r.field("embedding_length"),
+        num_layers=r.field("block_count"),
+        num_heads=heads,
+        num_kv_heads=r.field("attention.head_count_kv", heads),
+        head_dim=head_dim,
+        intermediate_size=r.field("feed_forward_length"),
+        rms_norm_eps=r.field("attention.layer_norm_rms_epsilon", 1e-6),
+        rope_theta=r.field("rope.freq_base", 10000.0),
+        max_position_embeddings=r.field("context_length", 32768),
+        qk_norm=f"blk.0.attn_q_norm.weight" in r.tensors,
+        attn_bias="blk.0.attn_q.bias" in r.tensors,
+        tie_word_embeddings="output.weight" not in r.tensors,
+    )
+
+
+def _load_linear(r: GGUFReader, name: str, dtype, keep_quant: bool):
+    """GGUF matrix (stored [out, in] row-major) -> [in, out] weight."""
+    ti = r.tensors[name]
+    if keep_quant and ti.ggml_type in (GGML_Q8_0, GGML_Q4_0):
+        ti, raw = r.raw_tensor(name)
+        in_dim = ti.shape[0]  # ggml ne0 = input dim
+        out_dim = ti.n_elements // in_dim
+        nb = in_dim // 32
+        blocks = np.frombuffer(bytes(raw), np.uint8).reshape(out_dim, nb, -1)
+        d = blocks[:, :, :2].reshape(out_dim, nb, 2).copy().view(np.float16)
+        scales = d.astype(np.float32).reshape(out_dim, nb).T  # [in/32, out]
+        if ti.ggml_type == GGML_Q8_0:
+            codes = blocks[:, :, 2:].copy().view(np.int8).reshape(out_dim, in_dim)
+        else:  # q4_0: nibbles - 8, elems 0..15 low, 16..31 high
+            qs = blocks[:, :, 2:]
+            lo = (qs & 0x0F).astype(np.int8) - 8
+            hi = (qs >> 4).astype(np.int8) - 8
+            codes = np.concatenate([lo, hi], axis=2).reshape(out_dim, in_dim)
+        return QuantizedWeight(
+            codes=jnp.asarray(codes.T),  # [in, out]
+            scales=jnp.asarray(scales),
+            block=32,
+            bits=8 if ti.ggml_type == GGML_Q8_0 else 4,
+        )
+    return jnp.asarray(r.tensor(name).T, dtype)
+
+
+def map_gguf_weights(
+    cfg: TransformerConfig, r: GGUFReader, dtype=jnp.bfloat16, *, keep_quant: bool = True
+) -> dict:
+    a = lambda n: jnp.asarray(r.tensor(n), dtype)
+    lin = lambda n: _load_linear(r, n, dtype, keep_quant)
+    layers = []
+    for i in range(cfg.num_layers):
+        b = f"blk.{i}."
+        attn = {
+            "wq": lin(b + "attn_q.weight"),
+            "wk": lin(b + "attn_k.weight"),
+            "wv": lin(b + "attn_v.weight"),
+            "wo": lin(b + "attn_output.weight"),
+        }
+        if cfg.attn_bias:
+            attn["bq"] = a(b + "attn_q.bias")
+            attn["bk"] = a(b + "attn_k.bias")
+            attn["bv"] = a(b + "attn_v.bias")
+        if cfg.qk_norm:
+            attn["q_norm"] = a(b + "attn_q_norm.weight")
+            attn["k_norm"] = a(b + "attn_k_norm.weight")
+        layers.append(
+            {
+                "attn": attn,
+                "mlp": {
+                    "gate": lin(b + "ffn_gate.weight"),
+                    "up": lin(b + "ffn_up.weight"),
+                    "down": lin(b + "ffn_down.weight"),
+                },
+                "input_ln": a(b + "attn_norm.weight"),
+                "post_ln": a(b + "ffn_norm.weight"),
+            }
+        )
+    params = {
+        "embed": a("token_embd.weight"),
+        "layers": tuple(layers),
+        "final_norm": a("output_norm.weight"),
+    }
+    if not cfg.tie_word_embeddings:
+        # lm_head stays unquantized-friendly: dequantize (reference never
+        # quantizes a tied head, qwen3_5/model.rs:116-121)
+        params["lm_head"] = jnp.asarray(r.tensor("output.weight").T, dtype)
+    return params
+
+
+def tokenizer_from_gguf(r: GGUFReader):
+    """Rebuild an AutoTokenizer from tokenizer.ggml.* metadata."""
+    from tokenizers import Tokenizer, decoders, models, pre_tokenizers, processors
+
+    from crane_tpu.tokenizer.autotokenizer import AutoTokenizer
+
+    tokens = r.metadata["tokenizer.ggml.tokens"]
+    merges = r.metadata.get("tokenizer.ggml.merges", [])
+    vocab = {t: i for i, t in enumerate(tokens)}
+    merge_pairs = [tuple(m.split(" ", 1)) for m in merges]
+    bpe = models.BPE(
+        vocab=vocab, merges=merge_pairs, fuse_unk=False, byte_fallback=False
+    )
+    tok = Tokenizer(bpe)
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = decoders.ByteLevel()
+
+    ttypes = r.metadata.get("tokenizer.ggml.token_type", [])
+    special = [
+        t for t, tt in zip(tokens, ttypes) if tt == 3  # CONTROL
+    ]
+    if special:
+        from tokenizers import AddedToken
+
+        tok.add_special_tokens([AddedToken(t, special=True) for t in special])
+
+    def tok_at(key):
+        idx = r.metadata.get(f"tokenizer.ggml.{key}")
+        return tokens[idx] if idx is not None and idx < len(tokens) else None
+
+    return AutoTokenizer(
+        tok,
+        chat_template=r.metadata.get("tokenizer.chat_template"),
+        bos_token=tok_at("bos_token_id"),
+        eos_token=tok_at("eos_token_id"),
+        add_bos_token=bool(r.metadata.get("tokenizer.ggml.add_bos_token", False)),
+    )
+
+
+def from_gguf(path: str, *, dtype=jnp.bfloat16, keep_quant: bool = True):
+    """Load a CausalLM from a GGUF file (config + weights + tokenizer)."""
+    from crane_tpu.models.causal_lm import CausalLM
+
+    r = GGUFReader(path)
+    cfg = config_from_gguf(r)
+    params = map_gguf_weights(cfg, r, dtype, keep_quant=keep_quant)
+    try:
+        tokenizer = tokenizer_from_gguf(r)
+    except Exception:
+        tokenizer = None
+    eos = r.metadata.get("tokenizer.ggml.eos_token_id")
+    eos_ids = (eos,) if eos is not None else ()
+    return CausalLM(cfg, params, tokenizer=tokenizer, eos_token_ids=eos_ids, dtype=dtype)

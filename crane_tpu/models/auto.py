@@ -64,6 +64,37 @@ def transformer_config_from_hf(hf: dict) -> TransformerConfig:
         return TransformerConfig(
             attn_bias=hf.get("attention_bias", False), qk_norm=False, **common
         )
+    if mt in ("qwen3_next", "qwen3_5"):
+        # hybrid GDN architecture (reference Qwen3.5/Ornith, qwen3_5/):
+        # unit-offset norms, 2x-wide gated q_proj, partial rotary,
+        # 3-in-4 linear-attention layers
+        from crane_tpu.models.modules.gdn_layer import GdnConfig
+
+        if hf.get("num_experts", 0):
+            raise NotImplementedError(
+                "MoE qwen3_next variants not supported yet (dense only)"
+            )
+        layer_types = tuple(
+            "gdn" if t == "linear_attention" else "full"
+            for t in hf["layer_types"]
+        )
+        gdn = GdnConfig(
+            num_v_heads=hf["linear_num_value_heads"],
+            num_k_heads=hf["linear_num_key_heads"],
+            head_k_dim=hf["linear_key_head_dim"],
+            head_v_dim=hf["linear_value_head_dim"],
+            conv_kernel=hf.get("linear_conv_kernel_dim", 4),
+        )
+        return TransformerConfig(
+            attn_bias=hf.get("attention_bias", False),
+            qk_norm=True,
+            norm_weight_offset=1.0,
+            attn_output_gate=True,
+            partial_rotary_factor=hf.get("partial_rotary_factor", 0.25),
+            layer_types=layer_types,
+            gdn=gdn,
+            **common,
+        )
     raise ValueError(f"unsupported model_type for dense causal LM: {mt!r}")
 
 
@@ -82,6 +113,30 @@ def map_hf_weights(cfg: TransformerConfig, sd: dict, dtype=jnp.bfloat16) -> dict
     layers = []
     for i in range(cfg.num_layers):
         lp = f"{p}layers.{i}."
+        if cfg.layer_type(i) == "gdn":
+            gp = lp + "linear_attn."
+            layers.append(
+                {
+                    "gdn": {
+                        "in_proj_qkvz": _t(sd[gp + "in_proj_qkvz.weight"], dtype),
+                        "in_proj_ba": _t(sd[gp + "in_proj_ba.weight"], dtype),
+                        # HF conv1d weight [conv_dim, 1, k] -> [conv_dim, k]
+                        "conv_w": _a(np.asarray(sd[gp + "conv1d.weight"])[:, 0, :], jnp.float32),
+                        "dt_bias": _a(sd[gp + "dt_bias"], jnp.float32),
+                        "A_log": _a(sd[gp + "A_log"], jnp.float32),
+                        "norm": _a(sd[gp + "norm.weight"], dtype),
+                        "out_proj": _t(sd[gp + "out_proj.weight"], dtype),
+                    },
+                    "mlp": {
+                        "gate": _t(sd[lp + "mlp.gate_proj.weight"], dtype),
+                        "up": _t(sd[lp + "mlp.up_proj.weight"], dtype),
+                        "down": _t(sd[lp + "mlp.down_proj.weight"], dtype),
+                    },
+                    "input_ln": _a(sd[lp + "input_layernorm.weight"], dtype),
+                    "post_ln": _a(sd[lp + "post_attention_layernorm.weight"], dtype),
+                }
+            )
+            continue
         attn = {
             "wq": _t(sd[lp + "self_attn.q_proj.weight"], dtype),
             "wk": _t(sd[lp + "self_attn.k_proj.weight"], dtype),

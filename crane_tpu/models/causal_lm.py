@@ -43,7 +43,9 @@ def _prefill(cfg, params, rope, cache, tokens, start, true_lengths):
     by it (pad-garbage KV slots beyond it get overwritten by later decode
     steps and are causally masked meanwhile).
     """
-    hidden, new_cache = forward_hidden(cfg, params, tokens, cache, start, rope)
+    hidden, new_cache = forward_hidden(
+        cfg, params, tokens, cache, start, rope, true_lengths=true_lengths
+    )
     new_cache = dataclasses.replace(new_cache, lengths=cache.lengths + true_lengths)
     b = jnp.arange(tokens.shape[0])
     last = hidden[b, start + true_lengths - 1]
@@ -63,7 +65,7 @@ def _prefill_slot(cfg, params, rope, cache, tokens, slot, true_length):
     """
     hidden, new_cache = forward_hidden(
         cfg, params, tokens, cache, jnp.asarray(0, jnp.int32), rope,
-        read_cache=False, cache_row=slot,
+        read_cache=False, cache_row=slot, true_lengths=true_length[None],
     )
     new_lengths = cache.lengths.at[slot].set(true_length)
     new_cache = dataclasses.replace(new_cache, lengths=new_lengths)
@@ -155,10 +157,10 @@ class CausalLM:
 
     # -- cache management ----------------------------------------------------
     def init_cache(self, batch: int, max_seq: int, *, quant_bits: int | None = None) -> KVCache:
-        c = self.config
-        return KVCache.empty(
-            c.num_layers, batch, max_seq, c.num_kv_heads, c.head_dim, self.dtype,
-            quant_bits=quant_bits,
+        from crane_tpu.models.modules.transformer import make_cache
+
+        return make_cache(
+            self.config, batch, max_seq, self.dtype, quant_bits=quant_bits
         )
 
     # -- low-level steps -----------------------------------------------------

@@ -1,0 +1,151 @@
+"""Gated-Delta-Net layer: projections, conv, recurrence, gated norm.
+
+Reference: /root/reference/crane-core/src/ops/gdn/layer.rs:69-137 —
+in_proj -> causal conv1d (k=4) -> split/expand heads -> L2-norm Q,K ->
+beta/g -> recurrence -> RmsNormGated(y, z) -> out_proj. Head grouping follows
+the HF "interleaved" ordering (VHeadOrder::Interleaved, layer.rs:171-186):
+each k-head block carries [q | k | v_group | z_group]; GGUF's chunked order is
+normalized to this layout at load time, so the compute path has ONE ordering
+and the reference's silent-head-mispairing hazard (config.rs:13-22) is
+confined to the GGUF loader.
+
+Numerics match HF transformers Qwen3NextGatedDeltaNet (the parity oracle).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from crane_tpu.ops.gdn import (
+    causal_conv1d,
+    causal_conv1d_update,
+    compute_beta_g,
+    gdn_decode_step,
+    gdn_recurrence,
+)
+from crane_tpu.ops.kv_cache import GdnLayerCache
+from crane_tpu.ops.linear import linear
+from crane_tpu.ops.norm import gated_rms_norm
+
+
+@dataclasses.dataclass(frozen=True)
+class GdnConfig:
+    num_v_heads: int
+    num_k_heads: int
+    head_k_dim: int
+    head_v_dim: int
+    conv_kernel: int = 4
+
+    @property
+    def key_dim(self) -> int:
+        return self.num_k_heads * self.head_k_dim
+
+    @property
+    def value_dim(self) -> int:
+        return self.num_v_heads * self.head_v_dim
+
+    @property
+    def conv_dim(self) -> int:
+        return 2 * self.key_dim + self.value_dim
+
+    @property
+    def v_per_group(self) -> int:
+        return self.num_v_heads // self.num_k_heads
+
+
+def split_qkvz_ba(g: GdnConfig, qkvz: jax.Array, ba: jax.Array):
+    """HF fix_query_key_value_ordering: per-k-head grouped projection output
+    -> (q [B,S,Hk,K], k [B,S,Hk,K], v [B,S,Hv,V], z [B,S,Hv,V], b/a [B,S,Hv])."""
+    B, S, _ = qkvz.shape
+    Hk, K, V, vg = g.num_k_heads, g.head_k_dim, g.head_v_dim, g.v_per_group
+    blk = qkvz.reshape(B, S, Hk, 2 * K + 2 * vg * V)
+    q = blk[..., :K]
+    k = blk[..., K : 2 * K]
+    v = blk[..., 2 * K : 2 * K + vg * V].reshape(B, S, g.num_v_heads, V)
+    z = blk[..., 2 * K + vg * V :].reshape(B, S, g.num_v_heads, V)
+    bab = ba.reshape(B, S, Hk, 2 * vg)
+    b = bab[..., :vg].reshape(B, S, g.num_v_heads)
+    a = bab[..., vg:].reshape(B, S, g.num_v_heads)
+    return q, k, v, z, b, a
+
+
+def gdn_block(
+    gcfg: GdnConfig,
+    p: dict,
+    x: jax.Array,
+    layer_cache: GdnLayerCache,
+    *,
+    eps: float = 1e-6,
+    decode: bool = False,
+    cache_row=None,
+    active: jax.Array | None = None,
+    backend: str | None = None,
+    true_lengths: jax.Array | None = None,
+):
+    """x ``[B, S, E]`` -> (out ``[B, S, E]``, new GdnLayerCache).
+
+    ``decode=True``: S must be 1, uses the rolling conv state + one-step
+    recurrence. Otherwise: fresh prefill from position 0 (zero initial
+    state — slot prefill always restarts, matching the engine contract).
+    ``true_lengths [B]`` masks bucket-padded tail steps out of the cumulative
+    state: padded steps get beta=0, g=0 (identity update) and the conv state
+    window ends at the true length — without this, pad tokens would corrupt
+    the recurrent state (unlike attention, where positional masking suffices).
+    """
+    B, S, _ = x.shape
+    qkvz = linear(x, p["in_proj_qkvz"])
+    ba = linear(x, p["in_proj_ba"])
+    q, k, v, z, b, a = split_qkvz_ba(gcfg, qkvz, ba)
+
+    mixed = jnp.concatenate(
+        [
+            q.reshape(B, S, gcfg.key_dim),
+            k.reshape(B, S, gcfg.key_dim),
+            v.reshape(B, S, gcfg.value_dim),
+        ],
+        axis=-1,
+    )
+
+    if decode:
+        if cache_row is not None:
+            raise ValueError("decode with cache_row unsupported")
+        conv_in = layer_cache.conv_state
+        y_c, new_conv = causal_conv1d_update(mixed[:, 0], conv_in, p["conv_w"])
+        mixed_c = y_c[:, None, :]
+    else:
+        mixed_c, new_conv = causal_conv1d(mixed, p["conv_w"], true_lengths=true_lengths)
+
+    qc = mixed_c[..., : gcfg.key_dim].reshape(B, S, gcfg.num_k_heads, gcfg.head_k_dim)
+    kc = mixed_c[..., gcfg.key_dim : 2 * gcfg.key_dim].reshape(
+        B, S, gcfg.num_k_heads, gcfg.head_k_dim
+    )
+    vc = mixed_c[..., 2 * gcfg.key_dim :].reshape(B, S, gcfg.num_v_heads, gcfg.head_v_dim)
+
+    beta, gdecay = compute_beta_g(b, a, p["A_log"], p["dt_bias"])
+    if not decode and true_lengths is not None:
+        valid = (
+            jnp.arange(S, dtype=jnp.int32)[None, :] < true_lengths[:, None]
+        )[..., None]
+        beta = beta * valid
+        gdecay = gdecay * valid
+    if gcfg.v_per_group > 1:
+        qc = jnp.repeat(qc, gcfg.v_per_group, axis=2)
+        kc = jnp.repeat(kc, gcfg.v_per_group, axis=2)
+
+    if decode:
+        y, new_state = gdn_decode_step(
+            qc[:, 0], kc[:, 0], vc[:, 0], gdecay[:, 0], beta[:, 0],
+            layer_cache.recurrent_state,
+        )
+        y = y[:, None]
+    else:
+        y, new_state = gdn_recurrence(qc, kc, vc, gdecay, beta, backend=backend)
+
+    new_cache = layer_cache.replace_rows(new_conv, new_state, row=cache_row, active=active)
+
+    y = gated_rms_norm(y, z, p["norm"], eps=eps)
+    out = linear(y.reshape(B, S, gcfg.value_dim), p["out_proj"])
+    return out, new_cache

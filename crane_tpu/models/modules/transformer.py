@@ -20,8 +20,9 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
+from crane_tpu.models.modules.gdn_layer import GdnConfig, gdn_block
 from crane_tpu.ops.attention import gqa_attention
-from crane_tpu.ops.kv_cache import KVCache
+from crane_tpu.ops.kv_cache import GdnLayerCache, KVCache, LayerKVCache, QuantLayerKVCache
 from crane_tpu.ops.linear import linear
 from crane_tpu.ops.norm import rms_norm
 from crane_tpu.ops.rope import apply_rope, rope_table
@@ -57,6 +58,8 @@ class TransformerConfig:
     act: str = "silu"
     # Qwen3.5-style sigmoid output gate carried in a 2x-wide q_proj
     attn_output_gate: bool = False
+    # hybrid linear-attention (Gated Delta Net) layers ("gdn" in layer_types)
+    gdn: GdnConfig | None = None
 
     @property
     def rot_dim(self) -> int:
@@ -73,6 +76,40 @@ class TransformerConfig:
         return tuple(
             i for i in range(self.num_layers) if self.layer_type(i) != "gdn"
         )
+
+
+def make_cache(
+    cfg: TransformerConfig,
+    batch: int,
+    max_seq: int,
+    dtype=jnp.bfloat16,
+    *,
+    quant_bits: int | None = None,
+) -> KVCache:
+    """Allocate the per-layer cache: KV buffers for attention layers,
+    conv+recurrent state for GDN layers (mutually exclusive per layer —
+    reference qwen3_5/model.rs:494-516)."""
+    layers = []
+    for i in range(cfg.num_layers):
+        if cfg.layer_type(i) == "gdn":
+            g = cfg.gdn
+            layers.append(
+                GdnLayerCache.empty(
+                    batch, g.conv_kernel, g.conv_dim, g.num_v_heads,
+                    g.head_k_dim, g.head_v_dim, dtype,
+                )
+            )
+        elif quant_bits is not None:
+            layers.append(
+                QuantLayerKVCache.empty(
+                    batch, max_seq, cfg.num_kv_heads, cfg.head_dim, bits=quant_bits
+                )
+            )
+        else:
+            layers.append(
+                LayerKVCache.empty(batch, max_seq, cfg.num_kv_heads, cfg.head_dim, dtype)
+            )
+    return KVCache(layers=tuple(layers), lengths=jnp.zeros((batch,), jnp.int32))
 
 
 def make_rope_tables(cfg: TransformerConfig) -> dict[str, Any]:
@@ -175,13 +212,27 @@ def decoder_layer(
     layer_idx: int,
     read_cache: bool = True,
     cache_row=None,
+    active: jax.Array | None = None,
+    true_lengths: jax.Array | None = None,
 ):
-    window = cfg.sliding_window if cfg.layer_type(layer_idx) == "sliding" else None
+    ltype = cfg.layer_type(layer_idx)
     h = rms_norm(x, p["input_ln"], eps=cfg.rms_norm_eps, weight_offset=cfg.norm_weight_offset)
-    attn_out, new_cache = attention_block(
-        cfg, p["attn"], h, layer_cache, positions, cache_positions, rope,
-        window=window, read_cache=read_cache, cache_row=cache_row,
-    )
+    if ltype == "gdn":
+        # decode iff S == 1 while reading cached state; slot prefill and
+        # generate-prefill always restart from position 0 with zero state
+        decode = read_cache and x.shape[1] == 1
+        attn_out, new_cache = gdn_block(
+            cfg.gdn, p["gdn"], h, layer_cache,
+            eps=cfg.rms_norm_eps, decode=decode, cache_row=cache_row,
+            active=active if decode else None,
+            true_lengths=true_lengths if not decode else None,
+        )
+    else:
+        window = cfg.sliding_window if ltype == "sliding" else None
+        attn_out, new_cache = attention_block(
+            cfg, p["attn"], h, layer_cache, positions, cache_positions, rope,
+            window=window, read_cache=read_cache, cache_row=cache_row,
+        )
     x = x + attn_out
     h = rms_norm(x, p["post_ln"], eps=cfg.rms_norm_eps, weight_offset=cfg.norm_weight_offset)
     x = x + mlp_block(cfg, p["mlp"], h)
@@ -200,6 +251,7 @@ def forward_hidden(
     cache_row=None,
     active: jax.Array | None = None,
     inputs_embeds: jax.Array | None = None,
+    true_lengths: jax.Array | None = None,
 ) -> tuple[jax.Array, KVCache]:
     """Token ids ``[B, S]`` -> final hidden states ``[B, S, E]`` + new cache.
 
@@ -236,7 +288,8 @@ def forward_hidden(
         x, new_layers[i] = decoder_layer(
             cfg, params["layers"][i], x, cache.layers[i],
             positions, write_pos, rope, layer_idx=i,
-            read_cache=read_cache, cache_row=cache_row,
+            read_cache=read_cache, cache_row=cache_row, active=active,
+            true_lengths=true_lengths,
         )
 
     x = rms_norm(x, params["final_norm"], eps=cfg.rms_norm_eps, weight_offset=cfg.norm_weight_offset)

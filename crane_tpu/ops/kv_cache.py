@@ -154,6 +154,64 @@ class QuantLayerKVCache:
         return k, v
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class GdnLayerCache:
+    """Gated-Delta-Net layer state (reference ops/gdn/cache.rs:15-46):
+    a rolling conv window + the recurrent state matrix.
+
+    conv_state: ``[B, k, conv_dim]`` (last k pre-activation conv inputs);
+    recurrent_state: ``[B, H_v, K, V]`` — always f32 (reference mandate).
+    """
+
+    conv_state: jax.Array
+    recurrent_state: jax.Array
+
+    @staticmethod
+    def empty(batch: int, conv_kernel: int, conv_dim: int, n_v_heads: int,
+              head_k_dim: int, head_v_dim: int, dtype=jnp.bfloat16) -> "GdnLayerCache":
+        return GdnLayerCache(
+            conv_state=jnp.zeros((batch, conv_kernel, conv_dim), dtype),
+            recurrent_state=jnp.zeros(
+                (batch, n_v_heads, head_k_dim, head_v_dim), jnp.float32
+            ),
+        )
+
+    def replace_rows(
+        self,
+        conv_state: jax.Array,
+        recurrent_state: jax.Array,
+        row: jax.Array | None = None,
+        active: jax.Array | None = None,
+    ) -> "GdnLayerCache":
+        """Write new states: whole batch, one row (slot prefill), or only
+        active rows (masked batched decode)."""
+        if row is not None:
+            r = jnp.asarray(row, jnp.int32)
+            return GdnLayerCache(
+                conv_state=jax.lax.dynamic_update_slice(
+                    self.conv_state, conv_state.astype(self.conv_state.dtype), (r, 0, 0)
+                ),
+                recurrent_state=jax.lax.dynamic_update_slice(
+                    self.recurrent_state, recurrent_state, (r, 0, 0, 0)
+                ),
+            )
+        if active is not None:
+            return GdnLayerCache(
+                conv_state=jnp.where(
+                    active[:, None, None], conv_state.astype(self.conv_state.dtype),
+                    self.conv_state,
+                ),
+                recurrent_state=jnp.where(
+                    active[:, None, None, None], recurrent_state, self.recurrent_state
+                ),
+            )
+        return GdnLayerCache(
+            conv_state=conv_state.astype(self.conv_state.dtype),
+            recurrent_state=recurrent_state,
+        )
+
+
 AnyLayerKVCache = Union[LayerKVCache, QuantLayerKVCache]
 
 
@@ -187,7 +245,10 @@ class KVCache:
 
     @property
     def max_seq(self) -> int:
-        return self.layers[0].max_seq
+        for layer in self.layers:
+            if hasattr(layer, "max_seq"):
+                return layer.max_seq
+        return 1 << 30  # no KV layers (pure linear-attention model)
 
     def advanced(self, n: jax.Array | int) -> "KVCache":
         return dataclasses.replace(self, lengths=self.lengths + n)
