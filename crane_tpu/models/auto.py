@@ -64,6 +64,41 @@ def transformer_config_from_hf(hf: dict) -> TransformerConfig:
         return TransformerConfig(
             attn_bias=hf.get("attention_bias", False), qk_norm=False, **common
         )
+    if mt == "hunyuan_v1_dense":
+        # reference Hunyuan Dense (hunyuan_dense/): llama-like with per-head
+        # QK norms applied after RoPE
+        return TransformerConfig(
+            attn_bias=hf.get("attention_bias", False),
+            qk_norm=True, qk_norm_after_rope=True, **common,
+        )
+    if mt in ("gemma3_text", "gemma3"):
+        # reference "Gemma4" family (gemma4/modeling.rs:1-21): hybrid
+        # sliding/full layers, dual-theta RoPE, unit-offset norms, QK norms,
+        # sandwich norms, scaled embeddings, GELU-tanh MLP
+        if mt == "gemma3" and "text_config" in hf:
+            return transformer_config_from_hf({**hf["text_config"], "model_type": "gemma3_text"})
+        layer_types = tuple(
+            "sliding" if t == "sliding_attention" else "full"
+            for t in hf["layer_types"]
+        )
+        rope_scaling = hf.get("rope_scaling") or {}
+        common["rope_theta"] = hf.get("rope_theta", 1_000_000.0)
+        return TransformerConfig(
+            qk_norm=True,
+            attn_bias=hf.get("attention_bias", False),
+            norm_weight_offset=1.0,
+            sandwich_norms=True,
+            layer_types=layer_types,
+            sliding_window=hf.get("sliding_window", 4096),
+            rope_local_theta=hf.get("rope_local_base_freq", 10000.0),
+            rope_scaling_factor=float(rope_scaling.get("factor", 1.0)),
+            query_scale=float(hf.get("query_pre_attn_scalar", hf.get("head_dim", 256))) ** -0.5,
+            embed_scale=float(hf["hidden_size"]) ** 0.5,
+            act="gelu_tanh",
+            attn_logit_softcap=hf.get("attn_logit_softcapping"),
+            logit_softcap=hf.get("final_logit_softcapping"),
+            **common,
+        )
     if mt in ("qwen3_next", "qwen3_5"):
         # hybrid GDN architecture (reference Qwen3.5/Ornith, qwen3_5/):
         # unit-offset norms, 2x-wide gated q_proj, partial rotary,
@@ -149,20 +184,28 @@ def map_hf_weights(cfg: TransformerConfig, sd: dict, dtype=jnp.bfloat16) -> dict
                 if bias is not None:
                     attn[nm] = _a(bias, dtype)
         if cfg.qk_norm:
-            attn["q_norm"] = _a(sd[lp + "self_attn.q_norm.weight"], dtype)
-            attn["k_norm"] = _a(sd[lp + "self_attn.k_norm.weight"], dtype)
-        layers.append(
-            {
-                "attn": attn,
-                "mlp": {
-                    "gate": _t(sd[lp + "mlp.gate_proj.weight"], dtype),
-                    "up": _t(sd[lp + "mlp.up_proj.weight"], dtype),
-                    "down": _t(sd[lp + "mlp.down_proj.weight"], dtype),
-                },
-                "input_ln": _a(sd[lp + "input_layernorm.weight"], dtype),
-                "post_ln": _a(sd[lp + "post_attention_layernorm.weight"], dtype),
-            }
-        )
+            if lp + "self_attn.q_norm.weight" in sd:
+                attn["q_norm"] = _a(sd[lp + "self_attn.q_norm.weight"], dtype)
+                attn["k_norm"] = _a(sd[lp + "self_attn.k_norm.weight"], dtype)
+            else:  # hunyuan naming
+                attn["q_norm"] = _a(sd[lp + "self_attn.query_layernorm.weight"], dtype)
+                attn["k_norm"] = _a(sd[lp + "self_attn.key_layernorm.weight"], dtype)
+        layer = {
+            "attn": attn,
+            "mlp": {
+                "gate": _t(sd[lp + "mlp.gate_proj.weight"], dtype),
+                "up": _t(sd[lp + "mlp.up_proj.weight"], dtype),
+                "down": _t(sd[lp + "mlp.down_proj.weight"], dtype),
+            },
+            "input_ln": _a(sd[lp + "input_layernorm.weight"], dtype),
+        }
+        if cfg.sandwich_norms:
+            layer["post_attn_ln"] = _a(sd[lp + "post_attention_layernorm.weight"], dtype)
+            layer["pre_ffn_ln"] = _a(sd[lp + "pre_feedforward_layernorm.weight"], dtype)
+            layer["post_ffn_ln"] = _a(sd[lp + "post_feedforward_layernorm.weight"], dtype)
+        else:
+            layer["post_ln"] = _a(sd[lp + "post_attention_layernorm.weight"], dtype)
+        layers.append(layer)
     params = {
         "embed": _a(sd[p + "embed_tokens.weight"], dtype),
         "layers": tuple(layers),

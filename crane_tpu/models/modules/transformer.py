@@ -43,6 +43,8 @@ class TransformerConfig:
     rope_theta: float = 10000.0
     max_position_embeddings: int = 32768
     qk_norm: bool = False
+    # Hunyuan applies the per-head QK norms after RoPE; Qwen3/Gemma before
+    qk_norm_after_rope: bool = False
     attn_bias: bool = False
     tie_word_embeddings: bool = False
     rope_mode: str = "half"
@@ -51,11 +53,20 @@ class TransformerConfig:
     # e.g. "gdn" for Qwen3.5); None means all-"full".
     layer_types: tuple[str, ...] | None = None
     sliding_window: int | None = None
-    # Gemma-style extras
+    # Gemma-style extras (logit_softcap = final logits; attn_logit_softcap =
+    # inside attention — Gemma2 semantics, gemma4/modeling.rs:1-21)
     logit_softcap: float | None = None
+    attn_logit_softcap: float | None = None
     norm_weight_offset: float = 0.0
     embed_scale: float | None = None
     act: str = "silu"
+    # Gemma3: norms around both sub-blocks (input_ln -> attn -> post_attn_ln,
+    # pre_ffn_ln -> mlp -> post_ffn_ln), local rope theta for sliding layers,
+    # query scale decoupled from head_dim, linear rope position scaling
+    sandwich_norms: bool = False
+    rope_local_theta: float | None = None
+    query_scale: float | None = None
+    rope_scaling_factor: float = 1.0
     # Qwen3.5-style sigmoid output gate carried in a 2x-wide q_proj
     attn_output_gate: bool = False
     # hybrid linear-attention (Gated Delta Net) layers ("gdn" in layer_types)
@@ -113,11 +124,28 @@ def make_cache(
 
 
 def make_rope_tables(cfg: TransformerConfig) -> dict[str, Any]:
-    """Precompute cos/sin tables; Gemma-style models may need two thetas."""
+    """Precompute cos/sin tables; Gemma-style models carry two thetas
+    (global for full-attention layers, local for sliding ones)."""
     cos, sin = rope_table(
         cfg.rot_dim, cfg.max_position_embeddings, theta=cfg.rope_theta
     )
-    return {"cos": cos, "sin": sin}
+    if cfg.rope_scaling_factor != 1.0:
+        # linear position scaling: equivalent to dividing positions
+        t = jnp.arange(cfg.max_position_embeddings, dtype=jnp.float32)
+        inv = 1.0 / (
+            cfg.rope_theta
+            ** (jnp.arange(0, cfg.rot_dim, 2, dtype=jnp.float32) / cfg.rot_dim)
+        )
+        freqs = jnp.outer(t / cfg.rope_scaling_factor, inv)
+        cos, sin = jnp.cos(freqs), jnp.sin(freqs)
+    tables = {"cos": cos, "sin": sin}
+    if cfg.rope_local_theta is not None:
+        lcos, lsin = rope_table(
+            cfg.rot_dim, cfg.max_position_embeddings, theta=cfg.rope_local_theta
+        )
+        tables["local_cos"] = lcos
+        tables["local_sin"] = lsin
+    return tables
 
 
 def _activation(cfg: TransformerConfig, x: jax.Array) -> jax.Array:
@@ -145,6 +173,7 @@ def attention_block(
     window: int | None = None,
     read_cache: bool = True,
     cache_row=None,
+    use_local_rope: bool = False,
 ):
     """GQA attention with QK-norm, RoPE, KV-cache append, optional out-gate.
 
@@ -173,12 +202,21 @@ def attention_block(
     k = k.reshape(B, S, Hkv, D)
     v = v.reshape(B, S, Hkv, D)
 
-    if cfg.qk_norm:
+    def qk_normalize(q, k):
         q = rms_norm(q, p["q_norm"], eps=cfg.rms_norm_eps, weight_offset=cfg.norm_weight_offset)
         k = rms_norm(k, p["k_norm"], eps=cfg.rms_norm_eps, weight_offset=cfg.norm_weight_offset)
+        return q, k
 
-    q = apply_rope(q, rope["cos"], rope["sin"], positions, mode=cfg.rope_mode)
-    k = apply_rope(k, rope["cos"], rope["sin"], positions, mode=cfg.rope_mode)
+    if cfg.qk_norm and not cfg.qk_norm_after_rope:
+        q, k = qk_normalize(q, k)
+
+    cos = rope["local_cos"] if use_local_rope else rope["cos"]
+    sin = rope["local_sin"] if use_local_rope else rope["sin"]
+    q = apply_rope(q, cos, sin, positions, mode=cfg.rope_mode)
+    k = apply_rope(k, cos, sin, positions, mode=cfg.rope_mode)
+
+    if cfg.qk_norm and cfg.qk_norm_after_rope:
+        q, k = qk_normalize(q, k)
 
     new_cache = layer_cache.update(k, v, cache_positions, row=cache_row)
     if not read_cache:
@@ -190,9 +228,9 @@ def attention_block(
 
     out = gqa_attention(
         q, kc, vc, positions,
-        scale=D ** -0.5,
+        scale=cfg.query_scale if cfg.query_scale is not None else D ** -0.5,
         window=window,
-        logit_softcap=None,
+        logit_softcap=cfg.attn_logit_softcap,
     )
     if gate is not None:
         out = out * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(out.dtype)
@@ -232,10 +270,18 @@ def decoder_layer(
         attn_out, new_cache = attention_block(
             cfg, p["attn"], h, layer_cache, positions, cache_positions, rope,
             window=window, read_cache=read_cache, cache_row=cache_row,
+            use_local_rope=(ltype == "sliding" and cfg.rope_local_theta is not None),
         )
-    x = x + attn_out
-    h = rms_norm(x, p["post_ln"], eps=cfg.rms_norm_eps, weight_offset=cfg.norm_weight_offset)
-    x = x + mlp_block(cfg, p["mlp"], h)
+    nrm = lambda t, w: rms_norm(t, w, eps=cfg.rms_norm_eps, weight_offset=cfg.norm_weight_offset)
+    if cfg.sandwich_norms:
+        # Gemma3: residual + post_ln(attn_out); pre/post ffn norms
+        x = x + nrm(attn_out, p["post_attn_ln"])
+        h = nrm(x, p["pre_ffn_ln"])
+        x = x + nrm(mlp_block(cfg, p["mlp"], h), p["post_ffn_ln"])
+    else:
+        x = x + attn_out
+        h = nrm(x, p["post_ln"])
+        x = x + mlp_block(cfg, p["mlp"], h)
     return x, new_cache
 
 
