@@ -25,7 +25,7 @@ from crane_tpu.ops.attention import gqa_attention
 from crane_tpu.ops.kv_cache import GdnLayerCache, KVCache, LayerKVCache, QuantLayerKVCache
 from crane_tpu.ops.linear import linear
 from crane_tpu.ops.norm import rms_norm
-from crane_tpu.ops.rope import apply_rope, rope_table
+from crane_tpu.ops.rope import apply_rope_embeds, rope_table
 
 
 @dataclasses.dataclass(frozen=True)
@@ -210,10 +210,12 @@ def attention_block(
     if cfg.qk_norm and not cfg.qk_norm_after_rope:
         q, k = qk_normalize(q, k)
 
+    # rope carries pre-gathered per-token cos/sin (one gather per forward,
+    # shared by all layers; also the MRoPE injection point for VLMs)
     cos = rope["local_cos"] if use_local_rope else rope["cos"]
     sin = rope["local_sin"] if use_local_rope else rope["sin"]
-    q = apply_rope(q, cos, sin, positions, mode=cfg.rope_mode)
-    k = apply_rope(k, cos, sin, positions, mode=cfg.rope_mode)
+    q = apply_rope_embeds(q, cos, sin, mode=cfg.rope_mode)
+    k = apply_rope_embeds(k, cos, sin, mode=cfg.rope_mode)
 
     if cfg.qk_norm and cfg.qk_norm_after_rope:
         q, k = qk_normalize(q, k)
@@ -298,6 +300,8 @@ def forward_hidden(
     active: jax.Array | None = None,
     inputs_embeds: jax.Array | None = None,
     true_lengths: jax.Array | None = None,
+    rope_embeds: dict | None = None,
+    deepstack: tuple | None = None,
 ) -> tuple[jax.Array, KVCache]:
     """Token ids ``[B, S]`` -> final hidden states ``[B, S, E]`` + new cache.
 
@@ -305,7 +309,10 @@ def forward_hidden(
     per-row write positions (batched decode, S == 1). ``active [B]`` masks
     rows out of a batched decode: their KV writes are dropped and their
     lengths don't advance (static-slot serving). ``inputs_embeds`` bypasses
-    the embedding lookup (VLM/audio embed splicing).
+    the embedding lookup (VLM/audio embed splicing). ``rope_embeds`` overrides
+    the per-token cos/sin (MRoPE). ``deepstack`` = (mask ``[B, S]``, embeds
+    ``[n_layers, n_visual, E]``): visual features added to the hidden states
+    after the first n layers (Qwen3-VL DeepStack).
     """
     B, S = tokens.shape
     if cache_positions.ndim == 0:
@@ -322,6 +329,12 @@ def forward_hidden(
             write_pos = cache_positions
             new_lengths = cache.lengths + S
 
+    if rope_embeds is None:
+        rope_embeds = {"cos": rope["cos"][positions], "sin": rope["sin"][positions]}
+        if "local_cos" in rope:
+            rope_embeds["local_cos"] = rope["local_cos"][positions]
+            rope_embeds["local_sin"] = rope["local_sin"][positions]
+
     if inputs_embeds is not None:
         x = inputs_embeds
     else:
@@ -333,10 +346,16 @@ def forward_hidden(
     for i in range(cfg.num_layers):
         x, new_layers[i] = decoder_layer(
             cfg, params["layers"][i], x, cache.layers[i],
-            positions, write_pos, rope, layer_idx=i,
+            positions, write_pos, rope_embeds, layer_idx=i,
             read_cache=read_cache, cache_row=cache_row, active=active,
             true_lengths=true_lengths,
         )
+        if deepstack is not None and i < deepstack[1].shape[0]:
+            mask, embeds = deepstack
+            # add visual features at the visual positions (VLM prefill;
+            # mask selects exactly embeds.shape[1] slots)
+            b_idx, s_idx = jnp.where(mask, size=embeds[i].shape[0])
+            x = x.at[b_idx, s_idx].add(embeds[i].astype(x.dtype))
 
     x = rms_norm(x, params["final_norm"], eps=cfg.rms_norm_eps, weight_offset=cfg.norm_weight_offset)
     new_cache = KVCache(layers=tuple(new_layers), lengths=new_lengths)
