@@ -1,0 +1,217 @@
+"""Voice activity detection: streaming VAD with segment extraction.
+
+Reference behavior (/root/reference/crane-core/src/models/silero_vad/
+model.rs): the reference runs the Silero conv-RNN via its ONNX evaluator and
+drives a chunked 512/256-sample streaming state machine (`Vad::segment_audio`)
+with `VadConfig` thresholds (threshold + hysteresis, min speech/silence
+durations, speech padding) producing `Segment`s (model.rs:35-90, 372-440,
+703-840; 8 k/16 k sample rates :18-22).
+
+TPU-native design: the probability model is a small native JAX conv+LSTM
+(`VadModel`, SURVEY.md §7: tiny graphs are ported natively rather than
+evaluated through ONNX); the state machine is pure host Python (it is
+per-chunk control flow, not tensor math). The state machine accepts ANY
+``prob_fn(chunk, state) -> (p, state)``, so it is fully testable with a
+synthetic energy model and usable with converted Silero weights.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class VadConfig:
+    sample_rate: int = 16000  # 8000 or 16000
+    threshold: float = 0.5
+    neg_threshold_offset: float = 0.15  # hysteresis: neg = threshold - offset
+    min_speech_duration_ms: int = 250
+    min_silence_duration_ms: int = 100
+    speech_pad_ms: int = 30
+    window_size_samples: int = 512  # 256 for 8 kHz
+
+    def __post_init__(self):
+        if self.sample_rate not in (8000, 16000):
+            raise ValueError("sample_rate must be 8000 or 16000")
+        if self.sample_rate == 8000 and self.window_size_samples == 512:
+            self.window_size_samples = 256
+
+    @property
+    def neg_threshold(self) -> float:
+        return self.threshold - self.neg_threshold_offset
+
+    def ms_to_samples(self, ms: int) -> int:
+        return ms * self.sample_rate // 1000
+
+
+@dataclasses.dataclass
+class Segment:
+    start: int  # sample index
+    end: int
+
+    def duration_s(self, sample_rate: int) -> float:
+        return (self.end - self.start) / sample_rate
+
+
+# -- native conv+LSTM probability model --------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class VadModelConfig:
+    window: int = 512
+    n_fft: int = 256
+    conv_channels: tuple = (16, 32, 32, 64)
+    lstm_hidden: int = 64
+
+
+def init_vad_params(cfg: VadModelConfig, seed: int = 0) -> dict:
+    k = jax.random.PRNGKey(seed)
+    ks = jax.random.split(k, 16)
+    n_freq = cfg.n_fft // 2 + 1
+    params, cin = {"convs": []}, n_freq
+    for i, cout in enumerate(cfg.conv_channels):
+        params["convs"].append(
+            {
+                "w": jax.random.normal(ks[i], (3, cin, cout)) * (3 * cin) ** -0.5,
+                "b": jnp.zeros((cout,)),
+            }
+        )
+        cin = cout
+    h = cfg.lstm_hidden
+    params["lstm"] = {
+        "wi": jax.random.normal(ks[8], (cin, 4 * h)) * cin ** -0.5,
+        "wh": jax.random.normal(ks[9], (h, 4 * h)) * h ** -0.5,
+        "b": jnp.zeros((4 * h,)),
+    }
+    params["head"] = {
+        "w": jax.random.normal(ks[10], (h, 1)) * h ** -0.5,
+        "b": jnp.zeros((1,)),
+    }
+    return params
+
+
+def _lstm_cell(p, x, state):
+    h, c = state
+    gates = x @ p["wi"] + h @ p["wh"] + p["b"]
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h = jax.nn.sigmoid(o) * jnp.tanh(c)
+    return h, (h, c)
+
+
+def vad_forward(cfg: VadModelConfig, params: dict, chunk: jax.Array, state):
+    """chunk ``[window]`` -> (speech prob scalar, new lstm state)."""
+    n = cfg.n_fft
+    frames = chunk.reshape(-1, n // 2)
+    # overlapping frames of n with hop n/2
+    frames = jnp.concatenate([frames[:-1], frames[1:]], axis=-1)
+    win = 0.5 - 0.5 * jnp.cos(2 * jnp.pi * jnp.arange(n) / n)
+    spec = jnp.abs(jnp.fft.rfft(frames * win, axis=-1))  # [T, n_freq]
+    x = jnp.log1p(spec)[None]
+    for cp in params["convs"]:
+        x = jax.lax.conv_general_dilated(
+            x, cp["w"], (1,), "SAME", dimension_numbers=("NWC", "WIO", "NWC")
+        )
+        x = jax.nn.relu(x + cp["b"])
+    feat = x[0].mean(axis=0)  # [C]
+    h, state = _lstm_cell(params["lstm"], feat, state)
+    p = jax.nn.sigmoid(h @ params["head"]["w"] + params["head"]["b"])[0]
+    return p, state
+
+
+class VadModel:
+    def __init__(self, cfg: VadModelConfig | None = None, params: dict | None = None):
+        self.cfg = cfg or VadModelConfig()
+        self.params = params or init_vad_params(self.cfg)
+        self._fn = jax.jit(lambda c, s: vad_forward(self.cfg, self.params, c, s))
+
+    def initial_state(self):
+        h = self.cfg.lstm_hidden
+        return (jnp.zeros((h,)), jnp.zeros((h,)))
+
+    def __call__(self, chunk: np.ndarray, state):
+        p, state = self._fn(jnp.asarray(chunk, jnp.float32), state)
+        return float(p), state
+
+
+def energy_vad(scale: float = 20.0) -> Callable:
+    """Synthetic probability model: sigmoid of RMS energy (test oracle)."""
+
+    def fn(chunk, state):
+        rms = float(np.sqrt(np.mean(np.square(np.asarray(chunk, np.float64)))))
+        return 1.0 / (1.0 + np.exp(-scale * (rms - 0.1))), state
+
+    return fn
+
+
+# -- streaming state machine (reference Vad::segment_audio) ------------------
+
+
+class Vad:
+    def __init__(self, config: VadConfig | None = None, model: Optional[Callable] = None):
+        self.config = config or VadConfig()
+        self.model = model or VadModel()
+        self.reset()
+
+    def reset(self):
+        self.state = self.model.initial_state() if hasattr(self.model, "initial_state") else None
+        self.triggered = False
+        self.current_start = 0
+        self.temp_end = 0
+        self.pos = 0
+        self.segments: list[Segment] = []
+
+    def process_chunk(self, chunk: np.ndarray) -> Optional[Segment]:
+        """Feed one window; returns a completed Segment when one closes."""
+        cfg = self.config
+        p, self.state = self.model(chunk, self.state)
+        done = None
+        if p >= cfg.threshold:
+            if not self.triggered:
+                self.triggered = True
+                self.current_start = max(0, self.pos - cfg.ms_to_samples(cfg.speech_pad_ms))
+            self.temp_end = 0
+        elif p < cfg.neg_threshold and self.triggered:
+            if self.temp_end == 0:
+                self.temp_end = self.pos + len(chunk)
+            elif self.pos + len(chunk) - self.temp_end >= cfg.ms_to_samples(cfg.min_silence_duration_ms):
+                end = self.temp_end + cfg.ms_to_samples(cfg.speech_pad_ms)
+                seg = Segment(self.current_start, end)
+                if seg.end - seg.start >= cfg.ms_to_samples(cfg.min_speech_duration_ms):
+                    self.segments.append(seg)
+                    done = seg
+                self.triggered = False
+                self.temp_end = 0
+        self.pos += len(chunk)
+        return done
+
+    def flush(self) -> Optional[Segment]:
+        """Close any in-flight segment at end of stream."""
+        if self.triggered:
+            end = self.temp_end if self.temp_end else self.pos
+            seg = Segment(self.current_start, end)
+            self.triggered = False
+            if seg.end - seg.start >= self.config.ms_to_samples(
+                self.config.min_speech_duration_ms
+            ):
+                self.segments.append(seg)
+                return seg
+        return None
+
+    def segment_audio(self, audio: np.ndarray) -> list[Segment]:
+        """Whole-file segmentation: chunk, stream, flush."""
+        self.reset()
+        w = self.config.window_size_samples
+        audio = np.asarray(audio, np.float32)
+        for i in range(0, len(audio) - w + 1, w):
+            self.process_chunk(audio[i : i + w])
+        tail = len(audio) % w
+        if tail:
+            self.process_chunk(np.pad(audio[len(audio) - tail :], (0, w - tail)))
+        self.flush()
+        return self.segments
