@@ -49,12 +49,26 @@ class Server:
         *,
         model_name: str = "crane-tpu",
         eos_token_ids: tuple[int, ...] = (),
+        tts=None,
+        asr=None,
+        vlm=None,
     ):
         self.engine = engine
         self.model_name = model_name
         self.eos_token_ids = tuple(eos_token_ids) or tuple(engine.lm.eos_token_ids)
         self.tokenizer = engine.lm.tokenizer
         self.created = int(time.time())
+        # multimodal backends run outside the engine with their own serialized
+        # executors — the reference's dedicated-thread-per-modality design
+        # (crane-serve lib.rs:200-619)
+        import concurrent.futures
+
+        self.tts = tts
+        self.asr = asr
+        self.vlm = vlm
+        self._tts_pool = concurrent.futures.ThreadPoolExecutor(1, "tts")
+        self._asr_pool = concurrent.futures.ThreadPoolExecutor(1, "asr")
+        self._vlm_pool = concurrent.futures.ThreadPoolExecutor(1, "vlm")
 
     # -- request plumbing ----------------------------------------------------
     async def _stream_responses(self, q):
@@ -224,6 +238,66 @@ class Server:
             }
         )
 
+    # -- audio endpoints (reference handlers/{tts,asr}.rs) --------------------
+    async def audio_speech(self, request):
+        """POST /v1/audio/speech: {input, voice?, response_format?} -> WAV."""
+        if self.tts is None:
+            return web.json_response({"error": "no TTS model loaded"}, status=400)
+        p = await request.json()
+        text = p.get("input") or p.get("text")
+        if not text:
+            return web.json_response({"error": "missing 'input'"}, status=400)
+        from crane_tpu.audio.pcm import encode_wav
+        from crane_tpu.generation.config import SpeechOptions
+
+        opts = SpeechOptions(voice=p.get("voice"), speed=float(p.get("speed", 1.0)))
+        loop = asyncio.get_running_loop()
+        try:
+            wav = await loop.run_in_executor(
+                self._tts_pool, self.tts.generate_speech, text, opts
+            )
+        except Exception as e:
+            return web.json_response({"error": str(e)}, status=400)
+        sr = self.tts.audio_info().sample_rate
+        fmt = p.get("response_format", "wav")
+        if fmt == "pcm":
+            from crane_tpu.audio.pcm import f32_to_i16
+
+            body, ctype = f32_to_i16(wav).tobytes(), "audio/pcm"
+        else:
+            body, ctype = encode_wav(wav, sr), "audio/wav"
+        return web.Response(body=body, content_type=ctype)
+
+    async def audio_transcriptions(self, request):
+        """POST /v1/audio/transcriptions: multipart 'file' -> {text}."""
+        if self.asr is None:
+            return web.json_response({"error": "no ASR model loaded"}, status=400)
+        data = None
+        if request.content_type and "multipart" in request.content_type:
+            reader = await request.multipart()
+            async for part in reader:
+                if part.name == "file":
+                    data = await part.read()
+        else:
+            data = await request.read()
+        if not data:
+            return web.json_response({"error": "missing audio file"}, status=400)
+        from crane_tpu.audio.pcm import decode_wav, resample
+        from crane_tpu.generation.config import TranscribeOptions
+
+        try:
+            samples, rate = decode_wav(data)
+        except ValueError as e:
+            return web.json_response({"error": str(e)}, status=400)
+        target = self.asr.input_sample_rate()
+        if rate != target:
+            samples = resample(samples, rate, target)
+        loop = asyncio.get_running_loop()
+        transcript = await loop.run_in_executor(
+            self._asr_pool, self.asr.transcribe, samples, TranscribeOptions()
+        )
+        return web.json_response({"text": transcript.text})
+
     # -- OpenAI chat/completions ---------------------------------------------
     def _render_chat(self, payload: dict) -> str:
         messages = payload["messages"]
@@ -237,8 +311,108 @@ class Server:
             **kw,
         )
 
+    @staticmethod
+    def _has_image_parts(messages) -> bool:
+        return any(
+            isinstance(m.get("content"), list)
+            and any(p.get("type") == "image_url" for p in m["content"])
+            for m in messages
+        )
+
+    def _decode_image(self, url: str):
+        import base64
+        import io
+
+        from PIL import Image
+
+        if url.startswith("data:"):
+            b64 = url.split(",", 1)[1]
+            return Image.open(io.BytesIO(base64.b64decode(b64)))
+        raise ValueError("only data: image URLs are supported (zero-egress server)")
+
+    def _vlm_generate_sync(self, messages, max_tokens):
+        """Render a ChatML prompt by hand with N image pads per image
+        (reference vlm.rs:311-344), splice, and greedy-decode."""
+        from crane_tpu.models.image_processing import preprocess_image
+
+        vc = self.vlm.vision_config
+        images, meta = [], []
+        for m in messages:
+            if not isinstance(m.get("content"), list):
+                continue
+            for part in m["content"]:
+                if part.get("type") == "image_url":
+                    img = self._decode_image(part["image_url"]["url"])
+                    patches, grid = preprocess_image(
+                        img, patch_size=vc.patch_size,
+                        merge_size=vc.spatial_merge_size,
+                        temporal_patch_size=vc.temporal_patch_size,
+                    )
+                    images.append((patches, grid))
+                    meta.append(grid[0] * (grid[1] // vc.spatial_merge_size) * (grid[2] // vc.spatial_merge_size))
+        parts, img_i = [], 0
+        for m in messages:
+            c = m.get("content")
+            if isinstance(c, list):
+                text = ""
+                for part in c:
+                    if part.get("type") == "image_url":
+                        text += (
+                            "<|vision_start|>" + "<|image_pad|>" * meta[img_i] + "<|vision_end|>"
+                        )
+                        img_i += 1
+                    else:
+                        text += part.get("text", "")
+            else:
+                text = c
+            parts.append(f"<|im_start|>{m['role']}\n{text}<|im_end|>\n")
+        prompt = "".join(parts) + "<|im_start|>assistant\n"
+        ids = self.vlm.tokenizer.encode(prompt)
+        from crane_tpu.generation.config import GenerationConfig
+        from crane_tpu.generation.streamer import CollectStreamer
+
+        st = CollectStreamer(self.vlm.tokenizer)
+        gen = GenerationConfig.greedy(
+            max_tokens, eos_token_ids=tuple(self.vlm.eos_token_ids)
+        )
+        n = len(self.vlm.generate(ids, images=images, gen=gen, streamer=st))
+        return st.text, len(ids), n
+
+    async def _vlm_chat(self, payload):
+        loop = asyncio.get_running_loop()
+        try:
+            text, n_prompt, n_gen = await loop.run_in_executor(
+                self._vlm_pool, self._vlm_generate_sync,
+                payload["messages"],
+                int(payload.get("max_tokens") or 512),
+            )
+        except Exception as e:
+            return web.json_response({"error": {"message": str(e)}}, status=400)
+        return web.json_response(
+            {
+                "id": f"req-{uuid.uuid4().hex[:16]}",
+                "object": "chat.completion",
+                "created": int(time.time()),
+                "model": self.model_name,
+                "choices": [
+                    {
+                        "index": 0,
+                        "message": {"role": "assistant", "content": text},
+                        "finish_reason": "stop",
+                    }
+                ],
+                "usage": {
+                    "prompt_tokens": n_prompt,
+                    "completion_tokens": n_gen,
+                    "total_tokens": n_prompt + n_gen,
+                },
+            }
+        )
+
     async def chat_completions(self, request):
         payload = await request.json()
+        if self.vlm is not None and self._has_image_parts(payload.get("messages", [])):
+            return await self._vlm_chat(payload)
         try:
             prompt = self._render_chat(payload)
         except Exception as e:  # template errors -> 400
@@ -378,6 +552,8 @@ def build_app(server: Server) -> web.Application:
     r.add_get("/v1/models/{model_id}", server.model_by_id)
     r.add_post("/v1/chat/completions", server.chat_completions)
     r.add_post("/v1/completions", server.completions)
+    r.add_post("/v1/audio/speech", server.audio_speech)
+    r.add_post("/v1/audio/transcriptions", server.audio_transcriptions)
     r.add_post("/tokenize", server.tokenize)
     r.add_post("/v1/tokenize", server.tokenize)
     r.add_post("/detokenize", server.detokenize)
