@@ -15,6 +15,7 @@ friendly. Params are plain nested dicts of arrays (or QuantizedWeight leaves).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any
 
 import jax
@@ -228,12 +229,27 @@ def attention_block(
     else:
         kc, vc = new_cache.k, new_cache.v
 
-    out = gqa_attention(
-        q, kc, vc, positions,
-        scale=cfg.query_scale if cfg.query_scale is not None else D ** -0.5,
-        window=window,
-        logit_softcap=cfg.attn_logit_softcap,
+    scale = cfg.query_scale if cfg.query_scale is not None else D ** -0.5
+    use_flash = (
+        not read_cache  # fresh prefill: positions 0..S-1, S == T
+        and window is None
+        and cfg.attn_logit_softcap is None
+        and S >= 256
+        and D % 128 == 0
+        and jax.default_backend() == "tpu"
+        and os.environ.get("CRANE_NO_FLASH") != "1"
     )
+    if use_flash:
+        from crane_tpu.ops.pallas.flash_attention import flash_attention_causal
+
+        out = flash_attention_causal(q, kc, vc, scale=scale)
+    else:
+        out = gqa_attention(
+            q, kc, vc, positions,
+            scale=scale,
+            window=window,
+            logit_softcap=cfg.attn_logit_softcap,
+        )
     if gate is not None:
         out = out * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(out.dtype)
     out = out.reshape(B, S, H * D)

@@ -1,0 +1,143 @@
+"""Pallas TPU flash attention for causal GQA prefill.
+
+Replaces the XLA SDPA path for long prompts: online-softmax over KV blocks so
+the ``[S, T]`` logit matrix is never materialized in HBM (the reference's CPU
+flash-attention analog, modules/flash_attn.rs, rebuilt for the MXU). GQA is
+handled in the index map — K/V blocks are fetched per kv-head (``h // G``)
+and never repeated.
+
+Layout: ``[B, H, S, D]`` with D = lane dim (128). Grid ``(B, H_q, S/Bq,
+S/Bk)`` with the KV axis innermost (sequential on TPU), carrying the running
+max/sum/accumulator in VMEM scratch. Fully-masked blocks above the causal
+diagonal skip their compute via predication.
+
+Used for fresh prefill (positions from 0, S == T); decode and cached-prefill
+keep the einsum path (tiny logits there).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, block_q, block_k):
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+    nj = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q_start = i * block_q
+    kv_start = j * block_k
+
+    # skip blocks entirely above the causal diagonal
+    @pl.when(kv_start <= q_start + block_q - 1)
+    def _():
+        q = q_ref[0, 0].astype(jnp.float32)  # [Bq, D]
+        k = k_ref[0, 0].astype(jnp.float32)  # [Bk, D]
+        v = v_ref[0, 0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [Bq, Bk]
+        qi = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + q_start
+        kj = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kv_start
+        s = jnp.where(qi >= kj, s, _NEG_INF)
+
+        m_prev = m_scr[:, :1]  # [Bq, 1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)  # [Bq, 1]
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + jnp.dot(
+            p, v, preferred_element_type=jnp.float32
+        )
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+
+    @pl.when(j == nj - 1)
+    def _():
+        o_ref[0, 0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
+)
+def flash_attention_causal(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: float,
+    block_q: int = 256,
+    block_k: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Causal GQA flash attention.
+
+    q ``[B, S, Hq, D]``, k/v ``[B, S, Hkv, D]`` (fresh prefill: positions
+    0..S-1). Returns ``[B, S, Hq, D]`` in q.dtype.
+    """
+    B, S, Hq, D = q.shape
+    Hkv = k.shape[2]
+    G = Hq // Hkv
+
+    qt = q.transpose(0, 2, 1, 3)  # [B, Hq, S, D]
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+
+    block_q = min(block_q, S)
+    block_k = min(block_k, S)
+    pad_q = (-S) % block_q
+    pad_k = (-S) % block_k
+    Sq, Sk = S + pad_q, S + pad_k
+    if pad_q:
+        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+    if pad_k:
+        # padded KV sits at positions > any real query -> causally masked
+        kt = jnp.pad(kt, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+        vt = jnp.pad(vt, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, block_q=block_q, block_k=block_k
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, Hq, Sq // block_q, Sk // block_k),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h // G, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h // G, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, Sq, D), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running max
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running sum
+            pltpu.VMEM((block_q, D), jnp.float32),  # output accumulator
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(2 * 2 * B * Hq * Sq * Sk * D // 2),
+            bytes_accessed=int(B * (Hq + 2 * Hkv) * S * D * 2),
+            transcendentals=int(B * Hq * Sq * Sk // 2),
+        ),
+        interpret=interpret,
+    )(qt, kt, vt)
+
+    return out[:, :, :S].transpose(0, 2, 1, 3)

@@ -1,0 +1,46 @@
+"""Flash-attention kernel vs the einsum SDPA reference (interpret mode)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from crane_tpu.ops.attention import gqa_attention
+from crane_tpu.ops.pallas.flash_attention import flash_attention_causal
+
+
+def rng(*shape, seed=0):
+    return jnp.asarray(
+        np.random.default_rng(seed).standard_normal(shape), jnp.float32
+    )
+
+
+@pytest.mark.parametrize(
+    "B,S,Hq,Hkv,D,bq,bk",
+    [
+        (1, 64, 4, 2, 32, 16, 16),  # GQA, multiple blocks
+        (2, 48, 2, 2, 16, 16, 32),  # ragged block sizes + padding
+        (1, 16, 8, 1, 8, 16, 16),   # MQA single block
+    ],
+)
+def test_matches_sdpa(B, S, Hq, Hkv, D, bq, bk):
+    q = rng(B, S, Hq, D, seed=1)
+    k = rng(B, S, Hkv, D, seed=2)
+    v = rng(B, S, Hkv, D, seed=3)
+    pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
+    ref = gqa_attention(q, k, v, pos, scale=D ** -0.5)
+    got = flash_attention_causal(
+        q, k, v, scale=D ** -0.5, block_q=bq, block_k=bk, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_first_token_attends_only_self():
+    q = rng(1, 8, 2, 16, seed=5)
+    k = rng(1, 8, 2, 16, seed=6)
+    v = rng(1, 8, 2, 16, seed=7)
+    out = flash_attention_causal(q, k, v, scale=0.25, block_q=8, block_k=8, interpret=True)
+    # position 0 output == v[0] exactly (softmax over one element)
+    np.testing.assert_allclose(
+        np.asarray(out[0, 0]), np.asarray(v[0, 0]), rtol=1e-5, atol=1e-6
+    )
