@@ -46,18 +46,31 @@ class QuantizedWeight:
         return w.reshape(i, o).astype(dtype)
 
 
-def quantize_weight(w: jax.Array, *, bits: int = 8, block: int = 32) -> QuantizedWeight:
-    """In-situ symmetric blockwise quantization of a dense ``[in, out]`` weight.
+def quantize_weight(
+    w: jax.Array, *, bits: int = 8, block: int = 32, granularity: str = "channel"
+) -> QuantizedWeight:
+    """In-situ symmetric quantization of a dense ``[in, out]`` weight.
 
-    Mirrors the reference's load-then-quantize ISQ path (ops/linear.rs:80-116);
-    block=32 matches q8_0/q4_0 granularity along the input dimension.
+    Mirrors the reference's load-then-quantize ISQ path (ops/linear.rs:80-116).
+    ``granularity="channel"`` (default) uses one scale per output column —
+    the decode-fast path where the int8->bf16 convert fuses into the matmul's
+    operand load, so HBM traffic is the int8 bytes. ``"block"`` uses per-block
+    scales along the input dim (block=32 = q8_0/q4_0 granularity) — higher
+    fidelity, used for GGUF-loaded weights.
     """
     i, o = w.shape
+    qmax = float(2 ** (bits - 1) - 1)
+    if granularity == "channel":
+        wf = w.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(wf), axis=0, keepdims=True)  # [1, out]
+        scale = amax / qmax
+        inv = jnp.where(scale > 0, 1.0 / jnp.where(scale > 0, scale, 1.0), 0.0)
+        codes = jnp.clip(jnp.round(wf * inv), -qmax, qmax).astype(jnp.int8)
+        return QuantizedWeight(codes=codes, scales=scale, block=i, bits=bits)
     if i % block != 0:
         # reference falls back to Q8_0 when in_dim % 256 != 0; here we fall
         # back to a whole-column block
         block = i
-    qmax = float(2 ** (bits - 1) - 1)
     wf = w.astype(jnp.float32).reshape(i // block, block, o)
     amax = jnp.max(jnp.abs(wf), axis=1, keepdims=True)
     scale = amax / qmax
@@ -71,17 +84,22 @@ def quantize_weight(w: jax.Array, *, bits: int = 8, block: int = 32) -> Quantize
 def linear(x: jax.Array, w, b: jax.Array | None = None) -> jax.Array:
     """``y = x @ w (+ b)`` for dense arrays or :class:`QuantizedWeight`."""
     if isinstance(w, QuantizedWeight):
-        # blockwise dequant-matmul; XLA fuses the scale multiply into the dot.
         i, o = w.codes.shape
-        nb = i // w.block
-        xb = x.reshape(*x.shape[:-1], nb, w.block).astype(jnp.float32)
-        wb = w.codes.reshape(nb, w.block, o)
-        y = jnp.einsum(
-            "...nk,nko->...no", xb, wb.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-        )
-        y = jnp.einsum("...no,no->...o", y, w.scales)
-        y = y.astype(x.dtype)
+        if w.block == i:
+            # per-channel scales: one matmul with the int8->compute-dtype
+            # convert fused into the operand load (HBM reads int8 bytes)
+            y = jnp.dot(x, w.codes.astype(x.dtype)) * w.scales.reshape(1, o).astype(x.dtype)
+        else:
+            # blockwise dequant-matmul (GGUF fidelity path)
+            nb = i // w.block
+            xb = x.reshape(*x.shape[:-1], nb, w.block).astype(jnp.float32)
+            wb = w.codes.reshape(nb, w.block, o)
+            y = jnp.einsum(
+                "...nk,nko->...no", xb, wb.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            y = jnp.einsum("...no,no->...o", y, w.scales)
+            y = y.astype(x.dtype)
     else:
         y = jnp.dot(x, w.astype(x.dtype))
     if b is not None:
