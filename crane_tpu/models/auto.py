@@ -61,8 +61,18 @@ def transformer_config_from_hf(hf: dict) -> TransformerConfig:
     if mt == "qwen3":
         return TransformerConfig(attn_bias=False, qk_norm=True, **common)
     if mt in ("llama", "mistral"):
+        rs = hf.get("rope_scaling") or {}
+        llama3 = None
+        if rs.get("rope_type", rs.get("type")) == "llama3":
+            llama3 = (
+                float(rs["factor"]),
+                float(rs.get("low_freq_factor", 1.0)),
+                float(rs.get("high_freq_factor", 4.0)),
+                int(rs.get("original_max_position_embeddings", 8192)),
+            )
         return TransformerConfig(
-            attn_bias=hf.get("attention_bias", False), qk_norm=False, **common
+            attn_bias=hf.get("attention_bias", False), qk_norm=False,
+            rope_llama3=llama3, **common,
         )
     if mt == "hunyuan_v1_dense":
         # reference Hunyuan Dense (hunyuan_dense/): llama-like with per-head
@@ -106,8 +116,14 @@ def transformer_config_from_hf(hf: dict) -> TransformerConfig:
         from crane_tpu.models.modules.gdn_layer import GdnConfig
 
         if hf.get("num_experts", 0):
-            raise NotImplementedError(
-                "MoE qwen3_next variants not supported yet (dense only)"
+            common.update(
+                num_experts=hf["num_experts"],
+                num_experts_per_tok=hf.get("num_experts_per_tok", 8),
+                moe_intermediate_size=hf.get("moe_intermediate_size", 0),
+                shared_expert_intermediate_size=hf.get("shared_expert_intermediate_size", 0),
+                norm_topk_prob=hf.get("norm_topk_prob", True),
+                decoder_sparse_step=hf.get("decoder_sparse_step", 1),
+                mlp_only_layers=tuple(hf.get("mlp_only_layers", ())),
             )
         layer_types = tuple(
             "gdn" if t == "linear_attention" else "full"
@@ -142,12 +158,41 @@ def _a(w, dtype):
     return jnp.asarray(np.asarray(w), dtype=dtype)
 
 
+def _map_moe(cfg: TransformerConfig, sd: dict, lp: str, dtype) -> dict:
+    """Stacked expert weights for the sparse-MoE MLP (qwen3_next naming)."""
+    n = cfg.num_experts
+    stack_t = lambda name: jnp.asarray(
+        np.stack([np.asarray(sd[f"{lp}mlp.experts.{e}.{name}.weight"]).T for e in range(n)]),
+        dtype,
+    )
+    moe = {
+        "router": _t(sd[lp + "mlp.gate.weight"], dtype),
+        "experts_gate": stack_t("gate_proj"),
+        "experts_up": stack_t("up_proj"),
+        "experts_down": stack_t("down_proj"),
+    }
+    if lp + "mlp.shared_expert.gate_proj.weight" in sd:
+        moe["shared_gate_proj"] = _t(sd[lp + "mlp.shared_expert.gate_proj.weight"], dtype)
+        moe["shared_up"] = _t(sd[lp + "mlp.shared_expert.up_proj.weight"], dtype)
+        moe["shared_down"] = _t(sd[lp + "mlp.shared_expert.down_proj.weight"], dtype)
+        moe["shared_gate"] = _t(sd[lp + "mlp.shared_expert_gate.weight"], dtype)
+    return moe
+
+
 def map_hf_weights(cfg: TransformerConfig, sd: dict, dtype=jnp.bfloat16) -> dict:
     """Map an HF llama/qwen-style state dict to the crane_tpu param tree."""
     p = "model."
     layers = []
     for i in range(cfg.num_layers):
         lp = f"{p}layers.{i}."
+        if cfg.is_moe_layer(i):
+            mlp = _map_moe(cfg, sd, lp, dtype)
+        else:
+            mlp = {
+                "gate": _t(sd[lp + "mlp.gate_proj.weight"], dtype),
+                "up": _t(sd[lp + "mlp.up_proj.weight"], dtype),
+                "down": _t(sd[lp + "mlp.down_proj.weight"], dtype),
+            }
         if cfg.layer_type(i) == "gdn":
             gp = lp + "linear_attn."
             layers.append(
@@ -162,11 +207,7 @@ def map_hf_weights(cfg: TransformerConfig, sd: dict, dtype=jnp.bfloat16) -> dict
                         "norm": _a(sd[gp + "norm.weight"], dtype),
                         "out_proj": _t(sd[gp + "out_proj.weight"], dtype),
                     },
-                    "mlp": {
-                        "gate": _t(sd[lp + "mlp.gate_proj.weight"], dtype),
-                        "up": _t(sd[lp + "mlp.up_proj.weight"], dtype),
-                        "down": _t(sd[lp + "mlp.down_proj.weight"], dtype),
-                    },
+                    "mlp": mlp,
                     "input_ln": _a(sd[lp + "input_layernorm.weight"], dtype),
                     "post_ln": _a(sd[lp + "post_attention_layernorm.weight"], dtype),
                 }
@@ -192,11 +233,7 @@ def map_hf_weights(cfg: TransformerConfig, sd: dict, dtype=jnp.bfloat16) -> dict
                 attn["k_norm"] = _a(sd[lp + "self_attn.key_layernorm.weight"], dtype)
         layer = {
             "attn": attn,
-            "mlp": {
-                "gate": _t(sd[lp + "mlp.gate_proj.weight"], dtype),
-                "up": _t(sd[lp + "mlp.up_proj.weight"], dtype),
-                "down": _t(sd[lp + "mlp.down_proj.weight"], dtype),
-            },
+            "mlp": mlp,
             "input_ln": _a(sd[lp + "input_layernorm.weight"], dtype),
         }
         if cfg.sandwich_norms:

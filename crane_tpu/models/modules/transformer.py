@@ -68,10 +68,29 @@ class TransformerConfig:
     rope_local_theta: float | None = None
     query_scale: float | None = None
     rope_scaling_factor: float = 1.0
+    # llama3 NTK-by-parts rope scaling (factor, low_freq_factor,
+    # high_freq_factor, original_max_position_embeddings); None = off
+    rope_llama3: tuple[float, float, float, int] | None = None
     # Qwen3.5-style sigmoid output gate carried in a 2x-wide q_proj
     attn_output_gate: bool = False
     # hybrid linear-attention (Gated Delta Net) layers ("gdn" in layer_types)
     gdn: GdnConfig | None = None
+    # sparse MoE MLP (Qwen3-Next): 0 experts = dense MLP everywhere
+    num_experts: int = 0
+    num_experts_per_tok: int = 8
+    moe_intermediate_size: int = 0
+    shared_expert_intermediate_size: int = 0
+    norm_topk_prob: bool = True
+    decoder_sparse_step: int = 1
+    mlp_only_layers: tuple[int, ...] = ()
+
+    def is_moe_layer(self, i: int) -> bool:
+        return (
+            self.num_experts > 0
+            and i not in self.mlp_only_layers
+            and self.decoder_sparse_step > 0
+            and (i + 1) % self.decoder_sparse_step == 0
+        )
 
     @property
     def rot_dim(self) -> int:
@@ -130,6 +149,24 @@ def make_rope_tables(cfg: TransformerConfig) -> dict[str, Any]:
     cos, sin = rope_table(
         cfg.rot_dim, cfg.max_position_embeddings, theta=cfg.rope_theta
     )
+    if cfg.rope_llama3 is not None:
+        factor, low_f, high_f, orig_max = cfg.rope_llama3
+        inv = 1.0 / (
+            cfg.rope_theta
+            ** (jnp.arange(0, cfg.rot_dim, 2, dtype=jnp.float32) / cfg.rot_dim)
+        )
+        wavelen = 2 * jnp.pi / inv
+        low_wl = orig_max / low_f
+        high_wl = orig_max / high_f
+        smooth = (orig_max / wavelen - low_f) / (high_f - low_f)
+        inv_scaled = jnp.where(
+            wavelen > low_wl,
+            inv / factor,
+            jnp.where(wavelen < high_wl, inv, (1 - smooth) * inv / factor + smooth * inv),
+        )
+        t = jnp.arange(cfg.max_position_embeddings, dtype=jnp.float32)
+        freqs = jnp.outer(t, inv_scaled)
+        cos, sin = jnp.cos(freqs), jnp.sin(freqs)
     if cfg.rope_scaling_factor != 1.0:
         # linear position scaling: equivalent to dividing positions
         t = jnp.arange(cfg.max_position_embeddings, dtype=jnp.float32)
@@ -159,7 +196,47 @@ def _activation(cfg: TransformerConfig, x: jax.Array) -> jax.Array:
 
 def mlp_block(cfg: TransformerConfig, p: dict, x: jax.Array) -> jax.Array:
     """SwiGLU: down(act(gate(x)) * up(x)) — reference modules/ffn.rs."""
+    if "router" in p:
+        return moe_block(cfg, p, x)
     return linear(_activation(cfg, linear(x, p["gate"])) * linear(x, p["up"]), p["down"])
+
+
+def moe_block(cfg: TransformerConfig, p: dict, x: jax.Array) -> jax.Array:
+    """Sparse-MoE SwiGLU with a sigmoid-gated shared expert (Qwen3-Next).
+
+    Routing: full softmax over experts (f32) -> top-k -> optional renorm (HF
+    Qwen3NextSparseMoeBlock semantics). Dispatch here is the dense one-hot
+    formulation — every expert computes every token, weighted by the sparse
+    combine matrix. Exact and simple; the token-sorted segmented-GEMM dispatch
+    (and expert-parallel sharding) is the scale follow-up.
+    """
+    B, S, E = x.shape
+    T = B * S
+    xt = x.reshape(T, E)
+    logits = (xt @ p["router"]).astype(jnp.float32)  # [T, n_exp]
+    probs = jax.nn.softmax(logits, axis=-1)
+    w, sel = jax.lax.top_k(probs, cfg.num_experts_per_tok)
+    if cfg.norm_topk_prob:
+        w = w / jnp.sum(w, axis=-1, keepdims=True)
+    cw = (
+        jnp.zeros((T, cfg.num_experts), jnp.float32)
+        .at[jnp.arange(T)[:, None], sel]
+        .add(w)
+    ).astype(x.dtype)
+
+    h = jnp.einsum("td,edi->tei", xt, p["experts_gate"])
+    h = _activation(cfg, h) * jnp.einsum("td,edi->tei", xt, p["experts_up"])
+    y = jnp.einsum("tei,eid,te->td", h, p["experts_down"], cw)
+
+    if "shared_gate" in p:
+        sh = linear(
+            _activation(cfg, linear(xt, p["shared_gate_proj"]))
+            * linear(xt, p["shared_up"]),
+            p["shared_down"],
+        )
+        gate = jax.nn.sigmoid((xt @ p["shared_gate"]).astype(jnp.float32)).astype(x.dtype)
+        y = y + gate * sh
+    return y.reshape(B, S, E)
 
 
 def attention_block(
