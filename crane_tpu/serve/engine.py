@@ -133,6 +133,19 @@ class InferenceEngine:
 
     def step(self) -> bool:
         self.stats.engine_steps += 1
+        if self.stats.engine_steps % 200 == 0:
+            # periodic engine log line (reference engine/mod.rs:402-445)
+            snap = self.stats.snapshot(
+                running=len(self.scheduler.running),
+                waiting=len(self.scheduler.waiting),
+            )
+            log.info(
+                "engine: uptime=%.0fs reqs=%d/%d gen_tokens=%d prefill=%.0f tok/s decode=%.0f tok/s running=%d waiting=%d",
+                snap["uptime_s"], snap["requests_completed"],
+                snap["requests_received"], snap["generated_tokens"],
+                snap["prefill_tok_s"], snap["decode_tok_s"],
+                snap["running"], snap["waiting"],
+            )
         self._drain_requests()
         self._check_aborted()
 

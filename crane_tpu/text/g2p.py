@@ -1,0 +1,186 @@
+"""Grapheme-to-phoneme engine: text normalization, numeral expansion,
+lexicon lookup with letter-to-sound fallback.
+
+Reference behavior (/root/reference/crane-core/src/models/g2p/, ~6k LoC):
+``Phonemizer`` trait, lexicon lookup, rule engines, numeral expansion, text
+normalization, IPA postprocessing, and an OOV model with beam search + LRU
+cache (kokoro_tts/README.md:20-43). This module implements the deterministic
+core (normalization, cardinal/ordinal/decimal/currency/year expansion,
+lexicon + rule fallback, LRU-cached OOV hook); a neural OOV model can be
+plugged in via ``oov_fn``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import re
+from typing import Callable, Optional
+
+_ONES = [
+    "zero", "one", "two", "three", "four", "five", "six", "seven", "eight",
+    "nine", "ten", "eleven", "twelve", "thirteen", "fourteen", "fifteen",
+    "sixteen", "seventeen", "eighteen", "nineteen",
+]
+_TENS = ["", "", "twenty", "thirty", "forty", "fifty", "sixty", "seventy", "eighty", "ninety"]
+_SCALES = [(10 ** 12, "trillion"), (10 ** 9, "billion"), (10 ** 6, "million"), (1000, "thousand"), (100, "hundred")]
+
+_ORDINAL_SPECIAL = {
+    "one": "first", "two": "second", "three": "third", "five": "fifth",
+    "eight": "eighth", "nine": "ninth", "twelve": "twelfth",
+}
+
+
+def number_to_words(n: int) -> str:
+    """Cardinal English number name (reference numeral expansion)."""
+    if n < 0:
+        return "minus " + number_to_words(-n)
+    if n < 20:
+        return _ONES[n]
+    if n < 100:
+        tens, rest = divmod(n, 10)
+        return _TENS[tens] + ("-" + _ONES[rest] if rest else "")
+    for scale, name in _SCALES:
+        if n >= scale:
+            head = number_to_words(n // scale) + " " + name
+            rest = n % scale
+            return head + (" " + number_to_words(rest) if rest else "")
+    return _ONES[0]
+
+
+def ordinal_to_words(n: int) -> str:
+    words = number_to_words(n)
+    head, _, last = words.rpartition(" ") if " " in words else ("", "", words)
+    h2, _, l2 = last.rpartition("-") if "-" in last else ("", "", last)
+    if l2 in _ORDINAL_SPECIAL:
+        o = _ORDINAL_SPECIAL[l2]
+    elif l2.endswith("y"):
+        o = l2[:-1] + "ieth"
+    else:
+        o = l2 + "th"
+    last = (h2 + "-" if h2 else "") + o
+    return (head + " " if head else "") + last
+
+
+def year_to_words(n: int) -> str:
+    """Common speech forms: 1984 -> nineteen eighty-four, 1900 -> nineteen
+    hundred, 2005 -> twenty oh five, 2000 -> two thousand."""
+    if 1000 <= n <= 9999 and n % 1000 != 0:
+        hi, lo = divmod(n, 100)
+        if lo == 0:
+            return number_to_words(hi) + " hundred"
+        if lo < 10:
+            return number_to_words(hi) + " oh " + _ONES[lo]
+        return number_to_words(hi) + " " + number_to_words(lo)
+    return number_to_words(n)
+
+
+_ABBREV = {
+    "mr": "mister", "mrs": "missus", "dr": "doctor", "st": "saint",
+    "vs": "versus", "etc": "et cetera", "no": "number",
+}
+
+
+def normalize_text(text: str) -> str:
+    """Expand numerals, currency, ordinals, years, abbreviations; squeeze
+    whitespace. Mirrors the reference's normalization stage."""
+    def currency(m):
+        amount = m.group(1).replace(",", "")
+        if "." in amount:
+            d, c = amount.split(".")
+            out = number_to_words(int(d)) + (" dollars" if int(d) != 1 else " dollar")
+            if int(c):
+                out += " and " + number_to_words(int(c)) + (
+                    " cents" if int(c) != 1 else " cent"
+                )
+            return out
+        v = int(amount)
+        return number_to_words(v) + (" dollars" if v != 1 else " dollar")
+
+    text = re.sub(r"\$([0-9][0-9,]*(?:\.[0-9]{1,2})?)", currency, text)
+    text = re.sub(
+        r"\b([0-9]+)(st|nd|rd|th)\b", lambda m: ordinal_to_words(int(m.group(1))), text
+    )
+    text = re.sub(
+        r"\b(1[1-9][0-9]{2}|20[0-9]{2})\b", lambda m: year_to_words(int(m.group(1))), text
+    )
+
+    def decimal(m):
+        d, c = m.group(1), m.group(2)
+        return (
+            number_to_words(int(d)) + " point " + " ".join(_ONES[int(x)] for x in c)
+        )
+
+    text = re.sub(r"\b([0-9]+)\.([0-9]+)\b", decimal, text)
+    text = re.sub(
+        r"\b[0-9][0-9,]*\b",
+        lambda m: number_to_words(int(m.group(0).replace(",", ""))),
+        text,
+    )
+    text = re.sub(
+        r"\b(" + "|".join(_ABBREV) + r")\.",
+        lambda m: _ABBREV[m.group(1).lower()],
+        text,
+        flags=re.IGNORECASE,
+    )
+    return re.sub(r"\s+", " ", text).strip()
+
+
+# minimal English letter-to-sound fallback rules (longest-match-first),
+# in lieu of the reference's full rule engine; an OOV model refines these
+_LTS_RULES = [
+    ("tion", "ʃən"), ("ough", "ʌf"), ("igh", "aɪ"), ("tch", "tʃ"),
+    ("ch", "tʃ"), ("sh", "ʃ"), ("th", "θ"), ("ph", "f"), ("wh", "w"),
+    ("ck", "k"), ("ng", "ŋ"), ("qu", "kw"), ("ee", "iː"), ("oo", "uː"),
+    ("ea", "iː"), ("ai", "eɪ"), ("ay", "eɪ"), ("ou", "aʊ"), ("ow", "oʊ"),
+    ("oi", "ɔɪ"), ("a", "æ"), ("b", "b"), ("c", "k"), ("d", "d"),
+    ("e", "ɛ"), ("f", "f"), ("g", "ɡ"), ("h", "h"), ("i", "ɪ"),
+    ("j", "dʒ"), ("k", "k"), ("l", "l"), ("m", "m"), ("n", "n"),
+    ("o", "ɑ"), ("p", "p"), ("r", "ɹ"), ("s", "s"), ("t", "t"),
+    ("u", "ʌ"), ("v", "v"), ("w", "w"), ("x", "ks"), ("y", "j"),
+    ("z", "z"),
+]
+
+
+def letter_to_sound(word: str) -> str:
+    out, i = [], 0
+    w = word.lower()
+    while i < len(w):
+        for pat, ph in _LTS_RULES:
+            if w.startswith(pat, i):
+                out.append(ph)
+                i += len(pat)
+                break
+        else:
+            i += 1  # drop unknown character
+    return "".join(out)
+
+
+@dataclasses.dataclass
+class Phonemizer:
+    """Lexicon-first phonemizer with rule fallback and optional OOV model.
+
+    ``lexicon`` maps lowercase words to phoneme strings; ``oov_fn`` (e.g. a
+    neural beam-search model) handles words missing from both; results are
+    LRU-cached like the reference's OOV cache.
+    """
+
+    lexicon: dict[str, str] = dataclasses.field(default_factory=dict)
+    oov_fn: Optional[Callable[[str], str]] = None
+    word_sep: str = " "
+
+    def __post_init__(self):
+        self._oov_cached = functools.lru_cache(maxsize=4096)(self._phonemize_word)
+
+    def _phonemize_word(self, word: str) -> str:
+        lex = self.lexicon.get(word)
+        if lex is not None:
+            return lex
+        if self.oov_fn is not None:
+            return self.oov_fn(word)
+        return letter_to_sound(word)
+
+    def phonemize(self, text: str) -> str:
+        text = normalize_text(text)
+        words = re.findall(r"[a-zA-Z']+", text)
+        return self.word_sep.join(self._oov_cached(w.lower()) for w in words)
