@@ -42,6 +42,8 @@ class CsmTtsConfig:
     audio_vocab_size: int
     text_vocab_size: int
     codebook_eos_token_id: int = 0
+    audio_token_id: int = -1
+    audio_eos_token_id: int = -1
 
 
 @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(3,))
@@ -125,16 +127,50 @@ class CsmTtsModel:
         offsets = jnp.arange(K, dtype=jnp.int32) * Va
         return self.params["audio_embed"][codes + offsets].sum(axis=0)
 
+    def prompt_embeds(self, ids: np.ndarray, audio_context: Optional[np.ndarray]) -> jax.Array:
+        """Text embeds with voice-clone audio context spliced in: audio-token
+        positions carry codec-frame embeddings of the reference audio, the
+        audio-EOS position carries the EOS-frame embedding (reference
+        voice-clone ICL prompt builders, qwen3_tts/modeling.rs:746-915)."""
+        cfg = self.config
+        embeds = self.params["text_embed"][jnp.asarray(ids)][None]
+        if audio_context is None:
+            return embeds
+        if self.codec is None:
+            raise ValueError("voice cloning needs the codec attached")
+        codes = self.codec.encode(audio_context[None], num_quantizers=cfg.num_codebooks)
+        frames = jnp.asarray(codes[0].T)  # [T', K]
+        K, Va = cfg.num_codebooks, cfg.audio_vocab_size
+        offsets = jnp.arange(K, dtype=jnp.int32) * Va
+        frame_embeds = self.params["audio_embed"][frames + offsets].sum(axis=1)
+        (pos,) = np.where(ids == cfg.audio_token_id)
+        assert len(pos) == frame_embeds.shape[0], (len(pos), frame_embeds.shape)
+        embeds = embeds.at[0, pos].set(frame_embeds.astype(embeds.dtype))
+        eos_frame = jnp.full((K,), cfg.codebook_eos_token_id, jnp.int32)
+        eos_embed = self.params["audio_embed"][eos_frame + offsets].sum(axis=0)
+        (epos,) = np.where(ids == cfg.audio_eos_token_id)
+        if len(epos):
+            embeds = embeds.at[0, epos].set(
+                jnp.broadcast_to(eos_embed, (len(epos), eos_embed.shape[0])).astype(embeds.dtype)
+            )
+        return embeds
+
     def generate_codes(
-        self, text_ids, *, max_frames: int = 125, stop_on_eos: bool = True
+        self,
+        text_ids,
+        *,
+        audio_context: Optional[np.ndarray] = None,
+        max_frames: int = 125,
+        stop_on_eos: bool = True,
     ) -> np.ndarray:
         """Greedy frame loop -> audio codes ``[T, K]`` (reference
-        generate_speech_codes, modeling.rs:1327-1490)."""
+        generate_speech_codes, modeling.rs:1327-1490). ``audio_context`` is a
+        24 kHz reference waveform for voice cloning."""
         cfg = self.config
         ids = np.asarray(list(text_ids), np.int32)
         S = len(ids)
         s_bucket = bucket_length(S, floor=32)
-        embeds = self.params["text_embed"][jnp.asarray(ids)][None]
+        embeds = self.prompt_embeds(ids, audio_context)
         embeds = jnp.pad(embeds, ((0, 0), (0, s_bucket - S), (0, 0)))
 
         cache = make_cache(cfg.backbone, 1, bucket_length(S + max_frames, floor=256), self.dtype)
@@ -204,6 +240,8 @@ def load_csm(model_dir: str, *, dtype=jnp.float32, with_codec: bool = False) -> 
         audio_vocab_size=hf["vocab_size"],
         text_vocab_size=hf.get("text_vocab_size", 128256),
         codebook_eos_token_id=hf.get("codebook_eos_token_id", 0),
+        audio_token_id=hf.get("audio_token_id", -1),
+        audio_eos_token_id=hf.get("audio_eos_token_id", -1),
     )
     sd = load_state_dict(model_dir)
     # tie_codebooks_embeddings dedupes the backbone audio embedding on save
@@ -242,7 +280,34 @@ def load_csm(model_dir: str, *, dtype=jnp.float32, with_codec: bool = False) -> 
     }
     codec = None
     if with_codec:
-        from crane_tpu.models.mimi import MimiCodec
+        from crane_tpu.models.mimi import MimiCodec, MimiCodecConfig, map_mimi_weights
 
-        codec = MimiCodec.from_pretrained(model_dir)
+        cc = hf["codec_config"]
+        ccfg = MimiCodecConfig(
+            sampling_rate=cc.get("sampling_rate", 24000),
+            hidden_size=cc["hidden_size"], num_filters=cc["num_filters"],
+            num_residual_layers=cc.get("num_residual_layers", 1),
+            upsampling_ratios=tuple(cc["upsampling_ratios"]),
+            kernel_size=cc.get("kernel_size", 7),
+            last_kernel_size=cc.get("last_kernel_size", 3),
+            residual_kernel_size=cc.get("residual_kernel_size", 3),
+            dilation_growth_rate=cc.get("dilation_growth_rate", 2),
+            codebook_size=cc["codebook_size"],
+            codebook_dim=cc.get("codebook_dim") or cc.get("vector_quantization_hidden_dimension", 256),
+            num_quantizers=cc["num_quantizers"],
+            num_semantic_quantizers=cc.get("num_semantic_quantizers", 1),
+            num_hidden_layers=cc.get("num_hidden_layers", 8),
+            num_attention_heads=cc.get("num_attention_heads", 8),
+            head_dim=cc.get("head_dim") or cc["hidden_size"] // cc.get("num_attention_heads", 8),
+            intermediate_size=cc.get("intermediate_size", 2048),
+            rope_theta=cc.get("rope_theta", 10000.0),
+            sliding_window=cc.get("sliding_window", 250),
+            norm_eps=cc.get("norm_eps", 1e-5),
+            upsample_groups=cc.get("upsample_groups", cc["hidden_size"]),
+        )
+        codec_sd = {
+            k.replace("codec_model.", ""): v
+            for k, v in sd.items() if k.startswith("codec_model.")
+        }
+        codec = MimiCodec(ccfg, map_mimi_weights(ccfg, codec_sd))
     return CsmTtsModel(cfg, params, codec=codec, dtype=dtype)

@@ -57,7 +57,7 @@ class CsmTts:
         return AudioInfo(sample_rate=sr)
 
     def supports_voice_cloning(self) -> bool:
-        return False
+        return self.model.codec is not None
 
     def generate_speech(self, text: str, options: SpeechOptions | None = None) -> np.ndarray:
         options = options or SpeechOptions()
@@ -66,6 +66,24 @@ class CsmTts:
         ids = self.tokenizer.encode(text)
         max_frames = min(self.max_frames, options.max_new_tokens)
         return self.model.generate_speech(ids, max_frames=max_frames)
+
+    def generate_voice_clone(
+        self,
+        text: str,
+        reference_audio: np.ndarray,
+        options: SpeechOptions | None = None,
+    ) -> np.ndarray:
+        """Clone the voice of ``reference_audio`` (codec-frame ICL context —
+        reference generate_voice_clone, qwen3_tts/model.rs:389-480)."""
+        options = options or SpeechOptions()
+        ids = self.tokenizer.encode(text)
+        codes = self.model.generate_codes(
+            ids, audio_context=np.asarray(reference_audio, np.float32),
+            max_frames=min(self.max_frames, options.max_new_tokens),
+        )
+        if codes.shape[0] == 0:
+            return np.zeros((0,), np.float32)
+        return self.model.codec.chunked_decode(codes.T[None], chunk=300, overlap=25)[0]
 
     def generate_speech_stream(
         self, text: str, options: SpeechOptions | None = None

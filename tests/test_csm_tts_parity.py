@@ -19,6 +19,7 @@ def tiny(tmp_path_factory):
         num_codebooks=4, vocab_size=64, hidden_size=64, num_hidden_layers=2,
         num_attention_heads=4, num_key_value_heads=2, intermediate_size=96,
         max_position_embeddings=256, text_vocab_size=200, rope_scaling=None,
+        audio_token_id=150, audio_eos_token_id=151,
         depth_decoder_config=dict(
             num_codebooks=4, vocab_size=64, backbone_hidden_size=64,
             hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
@@ -56,6 +57,33 @@ def test_codes_match_hf(tiny):
     got_trim = got[: len(ref_trim)]
     assert len(got_trim) > 0
     np.testing.assert_array_equal(got_trim, ref_trim)
+
+
+def test_voice_clone_audio_context_matches_hf(tiny):
+    """Voice cloning: reference audio encoded to codec frames and spliced at
+    audio-token positions must reproduce HF's audio-conditioned generation."""
+    model, d = tiny
+    mine = load_csm(d, dtype=jnp.float32, with_codec=True)
+    cfg = model.config
+    rng = np.random.default_rng(3)
+    # 5 codec frames of context: 5 * 24 samples at these tiny ratios
+    wav = (rng.standard_normal(40 * 24) * 0.1).astype(np.float32)
+    n_audio = mine.codec.encode(wav[None], num_quantizers=4).shape[-1]
+    ids = (
+        [5, 17] + [cfg.audio_token_id] * n_audio + [cfg.audio_eos_token_id] + [9, 3]
+    )
+    with torch.no_grad():
+        ref = model.generate(
+            input_ids=torch.tensor([ids]),
+            input_values=torch.from_numpy(wav)[None, None, :],
+            input_values_cutoffs=torch.tensor([[len(wav)]]),
+            max_new_tokens=5, do_sample=False, depth_decoder_do_sample=False,
+            output_audio=False,
+        )[0].numpy()
+    got = mine.generate_codes(ids, audio_context=wav, max_frames=5)
+    n = min(len(got), len(ref))
+    assert n > 0
+    np.testing.assert_array_equal(got[:n], ref[:n])
 
 
 def test_speech_decodes_through_codec(tiny):
