@@ -252,6 +252,7 @@ def attention_block(
     read_cache: bool = True,
     cache_row=None,
     use_local_rope: bool = False,
+    extra_mask=None,
 ):
     """GQA attention with QK-norm, RoPE, KV-cache append, optional out-gate.
 
@@ -309,6 +310,7 @@ def attention_block(
     scale = cfg.query_scale if cfg.query_scale is not None else D ** -0.5
     use_flash = (
         not read_cache  # fresh prefill: positions 0..S-1, S == T
+        and extra_mask is None
         and window is None
         and cfg.attn_logit_softcap is None
         and S >= 256
@@ -326,6 +328,7 @@ def attention_block(
             scale=scale,
             window=window,
             logit_softcap=cfg.attn_logit_softcap,
+            extra_mask=extra_mask,
         )
     if gate is not None:
         out = out * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(out.dtype)
@@ -347,6 +350,7 @@ def decoder_layer(
     cache_row=None,
     active: jax.Array | None = None,
     true_lengths: jax.Array | None = None,
+    extra_mask=None,
 ):
     ltype = cfg.layer_type(layer_idx)
     h = rms_norm(x, p["input_ln"], eps=cfg.rms_norm_eps, weight_offset=cfg.norm_weight_offset)
@@ -366,6 +370,7 @@ def decoder_layer(
             cfg, p["attn"], h, layer_cache, positions, cache_positions, rope,
             window=window, read_cache=read_cache, cache_row=cache_row,
             use_local_rope=(ltype == "sliding" and cfg.rope_local_theta is not None),
+            extra_mask=extra_mask,
         )
     nrm = lambda t, w: rms_norm(t, w, eps=cfg.rms_norm_eps, weight_offset=cfg.norm_weight_offset)
     if cfg.sandwich_norms:
@@ -395,6 +400,7 @@ def forward_hidden(
     true_lengths: jax.Array | None = None,
     rope_embeds: dict | None = None,
     deepstack: tuple | None = None,
+    extra_mask: jax.Array | None = None,
 ) -> tuple[jax.Array, KVCache]:
     """Token ids ``[B, S]`` -> final hidden states ``[B, S, E]`` + new cache.
 
@@ -441,7 +447,7 @@ def forward_hidden(
             cfg, params["layers"][i], x, cache.layers[i],
             positions, write_pos, rope_embeds, layer_idx=i,
             read_cache=read_cache, cache_row=cache_row, active=active,
-            true_lengths=true_lengths,
+            true_lengths=true_lengths, extra_mask=extra_mask,
         )
         if deepstack is not None and i < deepstack[1].shape[0]:
             mask, embeds = deepstack

@@ -52,12 +52,15 @@ def gqa_attention(
     window: int | None = None,
     logit_softcap: float | None = None,
     sinks: jax.Array | None = None,
+    extra_mask: jax.Array | None = None,
 ) -> jax.Array:
     """GQA scaled-dot-product attention.
 
     q: ``[B, S, H_q, D]``; k, v: ``[B, T, H_kv, D]`` (full cache buffers —
     invalid tail slots are masked out by position). ``q_positions``: ``[B, S]``
-    absolute positions of the queries. Returns ``[B, S, H_q, D]``.
+    absolute positions of the queries. ``extra_mask [B, S, T]`` is OR'd with
+    the causal mask (Gemma3-style bidirectional image blocks). Returns
+    ``[B, S, H_q, D]``.
     """
     B, S, Hq, D = q.shape
     Hkv = k.shape[2]
@@ -73,6 +76,14 @@ def gqa_attention(
         logits = jnp.tanh(logits / logit_softcap) * logit_softcap
 
     mask = attention_mask(q_positions, k.shape[1], window=window)
+    if extra_mask is not None:
+        if extra_mask.shape[-1] != k.shape[1]:
+            # extra mask covers the prefill span; the cache tail stays causal
+            extra_mask = jnp.pad(
+                extra_mask,
+                ((0, 0), (0, 0), (0, k.shape[1] - extra_mask.shape[-1])),
+            )
+        mask = mask | extra_mask
     logits = jnp.where(mask[:, None, None, :, :], logits, _NEG_INF)
 
     if sinks is not None:
