@@ -109,6 +109,19 @@ def transformer_config_from_hf(hf: dict) -> TransformerConfig:
             logit_softcap=hf.get("final_logit_softcapping"),
             **common,
         )
+    if mt == "lfm2":
+        # reference LFM2.5 (lfm2_5/, WIP there): hybrid attention + short-conv
+        return TransformerConfig(
+            qk_norm=True,
+            rms_norm_eps=hf.get("norm_eps", 1e-5),
+            layer_types=tuple(
+                "conv" if t != "full_attention" else "full"
+                for t in hf["layer_types"]
+            ),
+            conv_l_cache=hf.get("conv_L_cache", 3),
+            conv_bias=hf.get("conv_bias", False),
+            **{k: v for k, v in common.items() if k != "rms_norm_eps"},
+        )
     if mt in ("qwen3_next", "qwen3_5"):
         # hybrid GDN architecture (reference Qwen3.5/Ornith, qwen3_5/):
         # unit-offset norms, 2x-wide gated q_proj, partial rotary,
@@ -179,6 +192,13 @@ def _map_moe(cfg: TransformerConfig, sd: dict, lp: str, dtype) -> dict:
     return moe
 
 
+def _pick(sd: dict, *names: str):
+    for n in names:
+        if n in sd:
+            return sd[n]
+    raise KeyError(names[0])
+
+
 def map_hf_weights(cfg: TransformerConfig, sd: dict, dtype=jnp.bfloat16) -> dict:
     """Map an HF llama/qwen-style state dict to the crane_tpu param tree."""
     p = "model."
@@ -189,10 +209,27 @@ def map_hf_weights(cfg: TransformerConfig, sd: dict, dtype=jnp.bfloat16) -> dict
             mlp = _map_moe(cfg, sd, lp, dtype)
         else:
             mlp = {
-                "gate": _t(sd[lp + "mlp.gate_proj.weight"], dtype),
-                "up": _t(sd[lp + "mlp.up_proj.weight"], dtype),
-                "down": _t(sd[lp + "mlp.down_proj.weight"], dtype),
+                "gate": _t(_pick(sd, lp + "mlp.gate_proj.weight", lp + "feed_forward.w1.weight"), dtype),
+                "up": _t(_pick(sd, lp + "mlp.up_proj.weight", lp + "feed_forward.w3.weight"), dtype),
+                "down": _t(_pick(sd, lp + "mlp.down_proj.weight", lp + "feed_forward.w2.weight"), dtype),
             }
+        if cfg.layer_type(i) == "conv":
+            conv = {
+                "in_proj": _t(sd[lp + "conv.in_proj.weight"], dtype),
+                "out_proj": _t(sd[lp + "conv.out_proj.weight"], dtype),
+                "conv_w": _a(np.asarray(sd[lp + "conv.conv.weight"])[:, 0, :], jnp.float32),
+            }
+            if lp + "conv.conv.bias" in sd:
+                conv["conv_b"] = _a(sd[lp + "conv.conv.bias"], dtype)
+            layers.append(
+                {
+                    "conv": conv,
+                    "mlp": mlp,
+                    "input_ln": _a(_pick(sd, lp + "input_layernorm.weight", lp + "operator_norm.weight"), dtype),
+                    "post_ln": _a(_pick(sd, lp + "post_attention_layernorm.weight", lp + "ffn_norm.weight"), dtype),
+                }
+            )
+            continue
         if cfg.layer_type(i) == "gdn":
             gp = lp + "linear_attn."
             layers.append(
@@ -217,7 +254,7 @@ def map_hf_weights(cfg: TransformerConfig, sd: dict, dtype=jnp.bfloat16) -> dict
             "wq": _t(sd[lp + "self_attn.q_proj.weight"], dtype),
             "wk": _t(sd[lp + "self_attn.k_proj.weight"], dtype),
             "wv": _t(sd[lp + "self_attn.v_proj.weight"], dtype),
-            "wo": _t(sd[lp + "self_attn.o_proj.weight"], dtype),
+            "wo": _t(_pick(sd, lp + "self_attn.o_proj.weight", lp + "self_attn.out_proj.weight"), dtype),
         }
         if cfg.attn_bias:
             for nm, key in (("bq", "q_proj"), ("bk", "k_proj"), ("bv", "v_proj")):
@@ -225,28 +262,32 @@ def map_hf_weights(cfg: TransformerConfig, sd: dict, dtype=jnp.bfloat16) -> dict
                 if bias is not None:
                     attn[nm] = _a(bias, dtype)
         if cfg.qk_norm:
-            if lp + "self_attn.q_norm.weight" in sd:
-                attn["q_norm"] = _a(sd[lp + "self_attn.q_norm.weight"], dtype)
-                attn["k_norm"] = _a(sd[lp + "self_attn.k_norm.weight"], dtype)
-            else:  # hunyuan naming
-                attn["q_norm"] = _a(sd[lp + "self_attn.query_layernorm.weight"], dtype)
-                attn["k_norm"] = _a(sd[lp + "self_attn.key_layernorm.weight"], dtype)
+            attn["q_norm"] = _a(_pick(
+                sd, lp + "self_attn.q_norm.weight",
+                lp + "self_attn.query_layernorm.weight",  # hunyuan
+                lp + "self_attn.q_layernorm.weight",  # lfm2
+            ), dtype)
+            attn["k_norm"] = _a(_pick(
+                sd, lp + "self_attn.k_norm.weight",
+                lp + "self_attn.key_layernorm.weight",
+                lp + "self_attn.k_layernorm.weight",
+            ), dtype)
         layer = {
             "attn": attn,
             "mlp": mlp,
-            "input_ln": _a(sd[lp + "input_layernorm.weight"], dtype),
+            "input_ln": _a(_pick(sd, lp + "input_layernorm.weight", lp + "operator_norm.weight"), dtype),
         }
         if cfg.sandwich_norms:
             layer["post_attn_ln"] = _a(sd[lp + "post_attention_layernorm.weight"], dtype)
             layer["pre_ffn_ln"] = _a(sd[lp + "pre_feedforward_layernorm.weight"], dtype)
             layer["post_ffn_ln"] = _a(sd[lp + "post_feedforward_layernorm.weight"], dtype)
         else:
-            layer["post_ln"] = _a(sd[lp + "post_attention_layernorm.weight"], dtype)
+            layer["post_ln"] = _a(_pick(sd, lp + "post_attention_layernorm.weight", lp + "ffn_norm.weight"), dtype)
         layers.append(layer)
     params = {
         "embed": _a(sd[p + "embed_tokens.weight"], dtype),
         "layers": tuple(layers),
-        "final_norm": _a(sd[p + "norm.weight"], dtype),
+        "final_norm": _a(_pick(sd, p + "norm.weight", p + "embedding_norm.weight"), dtype),
     }
     if not cfg.tie_word_embeddings and "lm_head.weight" in sd:
         params["lm_head"] = _t(sd["lm_head.weight"], dtype)

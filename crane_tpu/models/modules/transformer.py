@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from crane_tpu.models.modules.gdn_layer import GdnConfig, gdn_block
 from crane_tpu.ops.attention import gqa_attention
-from crane_tpu.ops.kv_cache import GdnLayerCache, KVCache, LayerKVCache, QuantLayerKVCache
+from crane_tpu.ops.kv_cache import ConvLayerCache, GdnLayerCache, KVCache, LayerKVCache, QuantLayerKVCache
 from crane_tpu.ops.linear import linear
 from crane_tpu.ops.norm import rms_norm
 from crane_tpu.ops.rope import apply_rope_embeds, rope_table
@@ -75,6 +75,9 @@ class TransformerConfig:
     attn_output_gate: bool = False
     # hybrid linear-attention (Gated Delta Net) layers ("gdn" in layer_types)
     gdn: GdnConfig | None = None
+    # LFM2-style short-conv hybrid layers ("conv" in layer_types)
+    conv_l_cache: int = 3
+    conv_bias: bool = False
     # sparse MoE MLP (Qwen3-Next): 0 experts = dense MLP everywhere
     num_experts: int = 0
     num_experts_per_tok: int = 8
@@ -129,6 +132,10 @@ def make_cache(
                     batch, g.conv_kernel, g.conv_dim, g.num_v_heads,
                     g.head_k_dim, g.head_v_dim, dtype,
                 )
+            )
+        elif cfg.layer_type(i) == "conv":
+            layers.append(
+                ConvLayerCache.empty(batch, cfg.conv_l_cache, cfg.hidden_size, dtype)
             )
         elif quant_bits is not None:
             layers.append(
@@ -336,6 +343,41 @@ def attention_block(
     return linear(out, p["wo"], p.get("bo")), new_cache
 
 
+def short_conv_block(
+    cfg: TransformerConfig,
+    p: dict,
+    x: jax.Array,
+    layer_cache,
+    *,
+    decode: bool,
+    cache_row=None,
+    active: jax.Array | None = None,
+    true_lengths: jax.Array | None = None,
+):
+    """LFM2 short-conv mixer: in_proj -> (B, C, x) -> depthwise causal conv
+    of B*x (no activation) -> C * conv_out -> out_proj, with a rolling
+    L-window state for decode (HF Lfm2ShortConv semantics)."""
+    from crane_tpu.ops.gdn import causal_conv1d, causal_conv1d_update
+
+    bcx = linear(x, p["in_proj"], p.get("in_bias"))
+    b, c, xx = jnp.split(bcx, 3, axis=-1)
+    bx = b * xx
+    if decode:
+        y, new_state = causal_conv1d_update(
+            bx[:, 0], layer_cache.conv_state, p["conv_w"], activation=False
+        )
+        conv_out = y[:, None]
+    else:
+        conv_out, new_state = causal_conv1d(
+            bx, p["conv_w"], activation=False, true_lengths=true_lengths
+        )
+    if "conv_b" in p:
+        conv_out = conv_out + p["conv_b"]
+    out = linear(c * conv_out, p["out_proj"], p.get("out_bias"))
+    new_cache = layer_cache.replace_rows(new_state, row=cache_row, active=active)
+    return out, new_cache
+
+
 def decoder_layer(
     cfg: TransformerConfig,
     p: dict,
@@ -361,6 +403,14 @@ def decoder_layer(
         attn_out, new_cache = gdn_block(
             cfg.gdn, p["gdn"], h, layer_cache,
             eps=cfg.rms_norm_eps, decode=decode, cache_row=cache_row,
+            active=active if decode else None,
+            true_lengths=true_lengths if not decode else None,
+        )
+    elif ltype == "conv":
+        decode = read_cache and x.shape[1] == 1
+        attn_out, new_cache = short_conv_block(
+            cfg, p["conv"], h, layer_cache,
+            decode=decode, cache_row=cache_row,
             active=active if decode else None,
             true_lengths=true_lengths if not decode else None,
         )

@@ -212,6 +212,39 @@ class GdnLayerCache:
         )
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ConvLayerCache:
+    """Short-conv layer state (LFM2-style hybrid conv layers): the rolling
+    window of the last L pre-conv inputs, ``[B, L, C]``."""
+
+    conv_state: jax.Array
+
+    @staticmethod
+    def empty(batch: int, l_cache: int, channels: int, dtype=jnp.bfloat16) -> "ConvLayerCache":
+        return ConvLayerCache(conv_state=jnp.zeros((batch, l_cache, channels), dtype))
+
+    def replace_rows(
+        self,
+        conv_state: jax.Array,
+        row: jax.Array | None = None,
+        active: jax.Array | None = None,
+    ) -> "ConvLayerCache":
+        if row is not None:
+            return ConvLayerCache(
+                conv_state=jax.lax.dynamic_update_slice(
+                    self.conv_state, conv_state.astype(self.conv_state.dtype), (jnp.asarray(row, jnp.int32), 0, 0)
+                )
+            )
+        if active is not None:
+            return ConvLayerCache(
+                conv_state=jnp.where(
+                    active[:, None, None], conv_state.astype(self.conv_state.dtype), self.conv_state
+                )
+            )
+        return ConvLayerCache(conv_state=conv_state.astype(self.conv_state.dtype))
+
+
 AnyLayerKVCache = Union[LayerKVCache, QuantLayerKVCache]
 
 
