@@ -96,9 +96,21 @@ def gdn_block(
     the recurrent state (unlike attention, where positional masking suffices).
     """
     B, S, _ = x.shape
-    qkvz = linear(x, p["in_proj_qkvz"])
-    ba = linear(x, p["in_proj_ba"])
-    q, k, v, z, b, a = split_qkvz_ba(gcfg, qkvz, ba)
+    if "in_proj_qkvz" in p:
+        qkvz = linear(x, p["in_proj_qkvz"])
+        ba = linear(x, p["in_proj_ba"])
+        q, k, v, z, b, a = split_qkvz_ba(gcfg, qkvz, ba)
+    else:
+        # split projections (GGUF qwen35 layout, normalized to interleaved
+        # head order at load — reference GdnInputProjection::Split)
+        qkv = linear(x, p["in_proj_qkv"])
+        kd, vd = gcfg.key_dim, gcfg.value_dim
+        q = qkv[..., :kd].reshape(B, S, gcfg.num_k_heads, gcfg.head_k_dim)
+        k = qkv[..., kd : 2 * kd].reshape(B, S, gcfg.num_k_heads, gcfg.head_k_dim)
+        v = qkv[..., 2 * kd :].reshape(B, S, gcfg.num_v_heads, gcfg.head_v_dim)
+        z = linear(x, p["in_proj_z"]).reshape(B, S, gcfg.num_v_heads, gcfg.head_v_dim)
+        b = linear(x, p["in_proj_b"])
+        a = linear(x, p["in_proj_a"])
 
     mixed = jnp.concatenate(
         [
