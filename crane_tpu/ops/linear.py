@@ -86,9 +86,24 @@ def linear(x: jax.Array, w, b: jax.Array | None = None) -> jax.Array:
     if isinstance(w, QuantizedWeight):
         i, o = w.codes.shape
         if w.block == i:
-            # per-channel scales: one matmul with the int8->compute-dtype
-            # convert fused into the operand load (HBM reads int8 bytes)
-            y = jnp.dot(x, w.codes.astype(x.dtype)) * w.scales.reshape(1, o).astype(x.dtype)
+            import os
+
+            if (
+                os.environ.get("CRANE_PALLAS_QUANT") == "1"
+                and x.ndim == 2
+                and i % 256 == 0
+                and o % 256 == 0
+            ):
+                from crane_tpu.ops.pallas.quant_matmul import quant_matmul_w8
+
+                y = quant_matmul_w8(
+                    x, w.codes, w.scales.reshape(1, o),
+                    block_i=min(512, i), block_o=min(512, o),
+                )
+            else:
+                # per-channel scales: one matmul with the int8->compute-dtype
+                # convert fused into the operand load
+                y = jnp.dot(x, w.codes.astype(x.dtype)) * w.scales.reshape(1, o).astype(x.dtype)
         else:
             # blockwise dequant-matmul (GGUF fidelity path)
             nb = i // w.block

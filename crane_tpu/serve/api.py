@@ -585,12 +585,22 @@ def main(argv=None):
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     ap.add_argument("--quant", default=None, choices=[None, "q8", "q4"])
     ap.add_argument("--kv-quant", default=None, choices=[None, "int8", "int4"])
+    # multimodal backends (reference per-modality startup branches,
+    # crane-serve lib.rs:200-619)
+    ap.add_argument("--vlm-path", default=None, help="Qwen3-VL checkpoint for image chat")
+    ap.add_argument("--tts-path", default=None, help="codec-TTS checkpoint for /v1/audio/speech")
+    ap.add_argument("--asr-path", default=None, help="Moonshine checkpoint for /v1/audio/transcriptions")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     quant_bits = {"q8": 8, "q4": 4}.get(args.quant)
-    lm = from_pretrained(args.model_path, dtype=dtype, quant_bits=quant_bits)
+    if args.model_path.endswith(".gguf"):
+        from crane_tpu.loaders.gguf_model import from_gguf
+
+        lm = from_gguf(args.model_path, dtype=dtype)
+    else:
+        lm = from_pretrained(args.model_path, dtype=dtype, quant_bits=quant_bits)
     engine = InferenceEngine(
         lm,
         max_slots=args.max_concurrent,
@@ -598,11 +608,29 @@ def main(argv=None):
         decode_tokens_per_seq=args.decode_tokens_per_seq,
         kv_quant_bits={"int8": 8, "int4": 4}.get(args.kv_quant),
     )
+    tts = asr = vlm = None
+    if args.vlm_path:
+        from crane_tpu.models.qwen3_vl import load_qwen3_vl
+
+        vlm = load_qwen3_vl(args.vlm_path, dtype=dtype)
+    if args.tts_path:
+        from crane_tpu.models.csm_tts import load_csm
+        from crane_tpu.sdk.audio import CsmTts
+        from crane_tpu.tokenizer.autotokenizer import AutoTokenizer
+
+        tts_model = load_csm(args.tts_path, dtype=dtype, with_codec=True)
+        tts = CsmTts(tts_model, AutoTokenizer.from_pretrained(args.tts_path))
+    if args.asr_path:
+        from crane_tpu.models.moonshine import load_moonshine
+        from crane_tpu.sdk.audio import MoonshineAsr
+
+        asr = MoonshineAsr(load_moonshine(args.asr_path, dtype=dtype))
+
     log.info("warming up (compiling prefill/decode programs)...")
     engine.warmup()
     engine.start()
     name = args.model_name or args.model_path.rstrip("/").split("/")[-1]
-    server = Server(engine, model_name=name)
+    server = Server(engine, model_name=name, tts=tts, asr=asr, vlm=vlm)
     app = build_app(server)
     web.run_app(app, host=args.host, port=args.port)
 
