@@ -14,7 +14,11 @@ def test_matches_dense():
     codes = jnp.asarray(r.integers(-127, 127, (I, O)), jnp.int8)
     scales = jnp.asarray(np.abs(r.standard_normal((1, O))) * 0.01, jnp.float32)
     got = quant_matmul_w8(x, codes, scales, block_i=128, block_o=256, interpret=True)
-    ref = (x @ codes.astype(jnp.float32)) * scales
+    # the kernel computes the dot in bf16 (matching the decode path)
+    ref = jnp.dot(
+        x.astype(jnp.bfloat16), codes.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ) * scales
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=5e-3, atol=5e-3
     )
@@ -26,5 +30,8 @@ def test_single_block():
     codes = jnp.asarray(r.integers(-10, 10, (128, 128)), jnp.int8)
     scales = jnp.ones((1, 128), jnp.float32)
     got = quant_matmul_w8(x, codes, scales, interpret=True)
-    ref = x @ codes.astype(jnp.float32)
+    ref = jnp.dot(
+        x.astype(jnp.bfloat16), codes.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=5e-3, atol=5e-3)
