@@ -38,23 +38,45 @@ def param_partition_specs(params: dict) -> dict:
       norms / biases        -> replicated
     """
 
+    def mlp_spec(mlp: dict) -> dict:
+        if "router" in mlp:
+            # expert parallelism: shard the expert axis over tp (the stacked
+            # expert weights are [n_experts, in, out]); router replicated
+            spec = {
+                "router": P(),
+                "experts_gate": P("tp", None, None),
+                "experts_up": P("tp", None, None),
+                "experts_down": P("tp", None, None),
+            }
+            for k in ("shared_gate_proj", "shared_up"):
+                if k in mlp:
+                    spec[k] = P(None, "tp")
+            if "shared_down" in mlp:
+                spec["shared_down"] = P("tp", None)
+            if "shared_gate" in mlp:
+                spec["shared_gate"] = P()
+            return spec
+        return {"gate": P(None, "tp"), "up": P(None, "tp"), "down": P("tp", None)}
+
     def layer_spec(layer: dict) -> dict:
-        attn = {
-            "wq": P(None, "tp"), "wk": P(None, "tp"), "wv": P(None, "tp"),
-            "wo": P("tp", None),
-        }
-        for b in ("bq", "bk", "bv"):
-            if b in layer["attn"]:
-                attn[b] = P("tp")
-        for nrm in ("q_norm", "k_norm"):
-            if nrm in layer["attn"]:
-                attn[nrm] = P()
         out = {
-            "attn": attn,
-            "mlp": {"gate": P(None, "tp"), "up": P(None, "tp"), "down": P("tp", None)},
+            "mlp": mlp_spec(layer["mlp"]),
             "input_ln": P(),
-            "post_ln": P(),
         }
+        if "post_ln" in layer:
+            out["post_ln"] = P()
+        if "attn" in layer:
+            attn = {
+                "wq": P(None, "tp"), "wk": P(None, "tp"), "wv": P(None, "tp"),
+                "wo": P("tp", None),
+            }
+            for b in ("bq", "bk", "bv"):
+                if b in layer["attn"]:
+                    attn[b] = P("tp")
+            for nrm in ("q_norm", "k_norm"):
+                if nrm in layer["attn"]:
+                    attn[nrm] = P()
+            out["attn"] = attn
         for k in layer:
             if k not in out:
                 out[k] = jax.tree.map(lambda _: P(), layer[k])

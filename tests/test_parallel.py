@@ -63,6 +63,57 @@ def test_tp_forward_matches_single_device(setup):
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
 
 
+def test_moe_expert_parallel_forward(setup):
+    """Expert-parallel sharding (experts over tp) reproduces single-device
+    logits on a MoE config."""
+    import dataclasses
+
+    from crane_tpu.models.init import init_params
+
+    cfg, _, _ = setup
+    cfg = dataclasses.replace(
+        cfg, num_experts=4, num_experts_per_tok=2, moe_intermediate_size=64,
+        decoder_sparse_step=1,
+    )
+    params = init_params(cfg, seed=1, dtype=jnp.float32)
+    # convert dense MLPs to MoE params (random experts)
+    import jax.random as jr
+
+    key = jr.PRNGKey(0)
+    layers = []
+    for layer in params["layers"]:
+        k1, k2, k3, k4, key = jr.split(key, 5)
+        E, I = cfg.hidden_size, cfg.moe_intermediate_size
+        layer = dict(layer)
+        layer["mlp"] = {
+            "router": jr.normal(k4, (E, cfg.num_experts)) * 0.1,
+            "experts_gate": jr.normal(k1, (cfg.num_experts, E, I)) * E ** -0.5,
+            "experts_up": jr.normal(k2, (cfg.num_experts, E, I)) * E ** -0.5,
+            "experts_down": jr.normal(k3, (cfg.num_experts, I, E)) * I ** -0.5,
+        }
+        layers.append(layer)
+    params = {**params, "layers": tuple(layers)}
+    rope = make_rope_tables(cfg)
+
+    ids = np.array([[1, 5, 9, 17]], dtype=np.int32)
+    cache = _cache(cfg, 1, 8)
+    hidden, _ = forward_hidden(
+        cfg, params, jnp.asarray(ids), cache, jnp.asarray(0, jnp.int32), rope
+    )
+    ref = np.asarray(lm_logits(cfg, params, hidden))
+
+    mesh = make_mesh(dp=1, tp=4)
+    sparams = shard_params(params, mesh)
+    eg = sparams["layers"][0]["mlp"]["experts_gate"]
+    assert len(eg.sharding.device_set) == 4  # experts distributed
+    scache = jax.device_put(_cache(cfg, 1, 8), NamedSharding(mesh, P()))
+    hidden_s, _ = forward_hidden(
+        cfg, sparams, jnp.asarray(ids), scache, jnp.asarray(0, jnp.int32), rope
+    )
+    got = np.asarray(lm_logits(cfg, sparams, hidden_s))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
 def test_dp_tp_train_step_runs(setup):
     import optax
 
