@@ -628,6 +628,26 @@ def main(argv=None):
 
     log.info("warming up (compiling prefill/decode programs)...")
     engine.warmup()
+    # compile auxiliary modalities before serving so the first real request
+    # doesn't pay jit latency (reference warmup semantics; failures non-fatal,
+    # qwen3_5/model.rs:807-814)
+    import numpy as _np
+
+    from crane_tpu.generation.config import SpeechOptions, TranscribeOptions
+
+    for name, fn in (
+        ("tts", lambda: tts.generate_speech("hi", SpeechOptions(max_new_tokens=2))),
+        ("asr", lambda: asr.transcribe(_np.zeros(16000, _np.float32), TranscribeOptions())),
+    ):
+        backend = {"tts": tts, "asr": asr}[name]
+        if backend is None:
+            continue
+        try:
+            t0 = time.time()
+            fn()
+            log.info("%s warmup done in %.1fs", name, time.time() - t0)
+        except Exception as e:
+            log.warning("%s warmup failed (non-fatal): %s", name, e)
     engine.start()
     name = args.model_name or args.model_path.rstrip("/").split("/")[-1]
     server = Server(engine, model_name=name, tts=tts, asr=asr, vlm=vlm)
