@@ -74,6 +74,17 @@ def transformer_config_from_hf(hf: dict) -> TransformerConfig:
             attn_bias=hf.get("attention_bias", False), qk_norm=False,
             rope_llama3=llama3, **common,
         )
+    if mt == "ernie4_5":
+        # PaddleOCR-VL's LLM backbone (reference paddleocr_vl/model.rs:1-22
+        # wraps candle's paddleocr_vl = NaViT vision + Ernie-4.5 decoder):
+        # llama-style GQA with INTERLEAVED rotary pairs and optional
+        # all-projection biases
+        common["rms_norm_eps"] = hf.get("rms_norm_eps", 1e-5)
+        common["rope_theta"] = hf.get("rope_theta", 500_000.0)
+        return TransformerConfig(
+            attn_bias=hf.get("use_bias", False), qk_norm=False,
+            rope_mode="interleaved", **common,
+        )
     if mt == "hunyuan_v1_dense":
         # reference Hunyuan Dense (hunyuan_dense/): llama-like with per-head
         # QK norms applied after RoPE
