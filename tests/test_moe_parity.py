@@ -4,6 +4,7 @@ are MoE; dense parity is covered in test_qwen3_next_parity)."""
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 torch = pytest.importorskip("torch")
@@ -67,3 +68,39 @@ def test_greedy_generation_matches_hf(tiny):
     lm.eos_token_ids = ()
     got = lm.generate(prompt, GenerationConfig.greedy(10))
     assert got == ref
+
+
+def test_ragged_dispatch_matches_dense():
+    """Token-sorted ragged_dot segmented-GEMM dispatch must reproduce the
+    dense one-hot formulation exactly (same routing, same math)."""
+    import dataclasses
+
+    import jax.random as jr
+
+    from crane_tpu.models.modules.transformer import (
+        TransformerConfig,
+        _moe_dispatch_dense,
+        _moe_dispatch_ragged,
+    )
+
+    cfg = TransformerConfig(
+        vocab_size=16, hidden_size=32, num_layers=1, num_heads=2, num_kv_heads=2,
+        head_dim=16, intermediate_size=64, num_experts=8, num_experts_per_tok=3,
+        moe_intermediate_size=24,
+    )
+    key = jr.PRNGKey(0)
+    k1, k2, k3, k4, k5 = jr.split(key, 5)
+    E, I, G = cfg.hidden_size, cfg.moe_intermediate_size, cfg.num_experts
+    p = {
+        "experts_gate": jr.normal(k1, (G, E, I), jnp.float32) * E ** -0.5,
+        "experts_up": jr.normal(k2, (G, E, I), jnp.float32) * E ** -0.5,
+        "experts_down": jr.normal(k3, (G, I, E), jnp.float32) * I ** -0.5,
+    }
+    T = 13  # odd token count: uneven expert groups, some experts empty
+    xt = jr.normal(k4, (T, E), jnp.float32)
+    logits = jr.normal(k5, (T, G), jnp.float32)
+    w, sel = jax.lax.top_k(jax.nn.softmax(logits, -1), cfg.num_experts_per_tok)
+    w = w / w.sum(-1, keepdims=True)
+    dense = np.asarray(_moe_dispatch_dense(cfg, p, xt, w, sel))
+    ragged = np.asarray(_moe_dispatch_ragged(cfg, p, xt, w, sel))
+    np.testing.assert_allclose(ragged, dense, rtol=1e-4, atol=1e-5)
