@@ -81,6 +81,22 @@ def quantize_weight(
     )
 
 
+def _w8a8_matmul(x: jax.Array, codes: jax.Array, scales: jax.Array) -> jax.Array:
+    """Dynamic-activation-quant int8 matmul: per-token symmetric quant of x,
+    s8 x s8 -> s32 dot (native MXU int8 path), rescale by (act * weight)
+    scales. HBM reads the int8 weight bytes; the MXU runs at its int8 rate."""
+    o = codes.shape[1]
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    sx = amax / 127.0
+    xq = jnp.clip(
+        jnp.round(xf / jnp.where(sx > 0, sx, 1.0)), -127, 127
+    ).astype(jnp.int8)
+    contract = (((x.ndim - 1,), (0,)), ((), ()))
+    acc = jax.lax.dot_general(xq, codes, contract, preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * sx * scales.reshape(1, o)).astype(x.dtype)
+
+
 def linear(x: jax.Array, w, b: jax.Array | None = None) -> jax.Array:
     """``y = x @ w (+ b)`` for dense arrays or :class:`QuantizedWeight`."""
     if isinstance(w, QuantizedWeight):
@@ -100,10 +116,21 @@ def linear(x: jax.Array, w, b: jax.Array | None = None) -> jax.Array:
                     x, w.codes, w.scales.reshape(1, o),
                     block_i=min(512, i), block_o=min(512, o),
                 )
+            elif os.environ.get("CRANE_W8A8") == "1" and w.bits == 8:
+                # dynamic per-token activation quant + native s8xs8->s32 MXU
+                # matmul: int8 weight streaming AND double MXU rate. Error is
+                # bounded by the per-token activation quant (SmoothQuant-style
+                # W8A8); opt-in for q8 weights only.
+                y = _w8a8_matmul(x, w.codes, w.scales)
             else:
-                # per-channel scales: one matmul with the int8->compute-dtype
-                # convert fused into the operand load
-                y = jnp.dot(x, w.codes.astype(x.dtype)) * w.scales.reshape(1, o).astype(x.dtype)
+                # per-channel scales: MIXED-dtype dot keeps the weight int8 in
+                # HBM (the convert happens inside the dot's operand pipeline;
+                # an explicit .astype sometimes materializes a bf16 copy)
+                contract = (((x.ndim - 1,), (0,)), ((), ()))
+                y = jax.lax.dot_general(
+                    x, w.codes, contract, preferred_element_type=jnp.float32
+                )
+                y = (y * w.scales.reshape(1, o)).astype(x.dtype)
         else:
             # blockwise dequant-matmul (GGUF fidelity path)
             nb = i // w.block

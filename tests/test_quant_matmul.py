@@ -35,3 +35,44 @@ def test_single_block():
         preferred_element_type=jnp.float32,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=5e-3, atol=5e-3)
+
+
+def test_mixed_dtype_linear_matches_dequant():
+    """The w8a16 mixed-dtype dot must equal the explicit dequant matmul."""
+    from crane_tpu.ops.linear import linear, quantize_weight
+
+    r = np.random.default_rng(2)
+    w = jnp.asarray(r.standard_normal((256, 96)) * 0.05, jnp.float32)
+    x = jnp.asarray(r.standard_normal((3, 256)), jnp.bfloat16)
+    qw = quantize_weight(w, bits=8, granularity="channel")
+    got = np.asarray(linear(x, qw), np.float32)
+    ref = np.asarray(jnp.dot(x, qw.dequant(jnp.bfloat16)), np.float32)
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_w8a8_matmul_error_bounded(monkeypatch):
+    """Dynamic-activation-quant s8xs8 path: bounded relative error vs the
+    exact f32 product, and routed through linear() under CRANE_W8A8=1."""
+    from crane_tpu.ops.linear import _w8a8_matmul, linear, quantize_weight
+
+    r = np.random.default_rng(3)
+    w = jnp.asarray(r.standard_normal((512, 128)) * 0.04, jnp.float32)
+    x = jnp.asarray(r.standard_normal((4, 512)), jnp.bfloat16)
+    qw = quantize_weight(w, bits=8, granularity="channel")
+
+    exact = np.asarray(jnp.dot(x.astype(jnp.float32), w), np.float32)
+    got = np.asarray(_w8a8_matmul(x, qw.codes, qw.scales), np.float32)
+    rms = float(np.sqrt((exact ** 2).mean()))
+    err = np.abs(got - exact)
+    assert np.median(err) / rms < 0.01      # typical error ≪ signal
+    assert err.max() / rms < 0.05           # worst case bounded
+
+    monkeypatch.setenv("CRANE_W8A8", "1")
+    routed = np.asarray(linear(x, qw), np.float32)
+    np.testing.assert_allclose(routed, got, rtol=1e-5, atol=1e-5)
+
+    # int4 weights must NOT take the w8a8 path (quality guard)
+    qw4 = quantize_weight(w, bits=4, granularity="channel")
+    out4 = np.asarray(linear(x, qw4), np.float32)
+    ref4 = np.asarray(jnp.dot(x, qw4.dequant(jnp.bfloat16)), np.float32)
+    np.testing.assert_allclose(out4, ref4, rtol=3e-2, atol=3e-2)
