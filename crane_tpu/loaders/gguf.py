@@ -167,6 +167,14 @@ def _f16(x: np.ndarray) -> np.ndarray:
 
 def dequantize(raw: np.ndarray, ggml_type: int, n_elements: int) -> np.ndarray:
     raw = raw.view(np.uint8)
+    if ggml_type in _BLOCK_INFO and ggml_type not in (GGML_F32, GGML_F16, GGML_BF16):
+        # native OpenMP dequant (crane_tpu/native/gguf_dequant.cpp), bit-exact
+        # with the NumPy path below; None -> compiler unavailable, fall through
+        from crane_tpu.native import gguf_dequant_native
+
+        out = gguf_dequant_native(raw, ggml_type, n_elements)
+        if out is not None:
+            return out
     if ggml_type == GGML_F32:
         return raw.view(np.float32).copy()
     if ggml_type == GGML_F16:
