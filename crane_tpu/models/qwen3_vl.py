@@ -119,16 +119,39 @@ class Qwen3VLModel:
         )
 
     # -- 3-D positions (host-side; numpy port of HF get_rope_index) ----------
-    def get_rope_index(self, input_ids: np.ndarray, image_grid_thw) -> tuple[np.ndarray, int]:
-        """input_ids ``[S]`` -> (positions ``[3, S]``, mrope_delta)."""
+    def get_rope_index(
+        self, input_ids: np.ndarray, image_grid_thw, video_grid_thw=None
+    ) -> tuple[np.ndarray, int]:
+        """input_ids ``[S]`` -> (positions ``[3, S]``, mrope_delta).
+
+        Videos are timestamp-separated in Qwen3-VL: each video frame is its
+        own t=1 vision span (HF pre-splits video_grid_thw by t and zeroes the
+        temporal index — temporal information lives in the timestamp text
+        tokens between frames, not in the rope t channel)."""
         ids = list(np.asarray(input_ids).tolist())
         merge = self.vision_config.spatial_merge_size
+        img_grids = [tuple(g) for g in (image_grid_thw or [])]
+        vid_grids = []
+        for t, h, w in (video_grid_thw or []):
+            vid_grids.extend([(1, h, w)] * int(t))  # per-frame spans
         pos_chunks = []
-        st, img_i = 0, 0
-        grids = [tuple(g) for g in (image_grid_thw or [])]
-        while img_i < len(grids) and self.image_token_id in ids[st:]:
-            ed = ids.index(self.image_token_id, st)
-            t, h, w = grids[img_i]
+        st, img_i, vid_i = 0, 0, 0
+        n_spans = len(img_grids) + len(vid_grids)
+        for _ in range(n_spans):
+            ed_img = ids.index(self.image_token_id, st) if (
+                img_i < len(img_grids) and self.image_token_id in ids[st:]
+            ) else len(ids) + 1
+            ed_vid = ids.index(self.video_token_id, st) if (
+                vid_i < len(vid_grids) and self.video_token_id in ids[st:]
+            ) else len(ids) + 1
+            if ed_img < ed_vid:
+                t, h, w = img_grids[img_i]
+                img_i += 1
+                ed = ed_img
+            else:
+                t, h, w = vid_grids[vid_i]
+                vid_i += 1
+                ed = ed_vid
             gh, gw = h // merge, w // merge
             st_idx = pos_chunks[-1].max() + 1 if pos_chunks else 0
             text_len = ed - st
@@ -138,7 +161,6 @@ class Qwen3VLModel:
             w_idx = np.tile(np.arange(gw), t * gh)
             pos_chunks.append(np.stack([t_idx, h_idx, w_idx]) + text_len + st_idx)
             st = ed + t * gh * gw
-            img_i += 1
         if st < len(ids):
             st_idx = pos_chunks[-1].max() + 1 if pos_chunks else 0
             pos_chunks.append(np.tile(np.arange(len(ids) - st), (3, 1)) + st_idx)
@@ -153,33 +175,68 @@ class Qwen3VLModel:
         images: Optional[list] = None,
         gen: GenerationConfig | None = None,
         streamer=None,
+        videos: Optional[list] = None,
     ) -> list[int]:
-        """Greedy decode with spliced image embeds (single sequence)."""
+        """Greedy decode with spliced image/video embeds (single sequence).
+
+        ``images``/``videos`` are lists of ``(patches, grid_thw)``; video
+        grids have t > 1 (frames / temporal_patch_size) and splice at
+        ``video_token_id`` pads. DeepStack features from both modalities are
+        merged in token-position order (HF Qwen3VLModel.forward semantics)."""
         gen = gen or GenerationConfig()
         eos = set(gen.eos_token_ids) | set(self.eos_token_ids)
         ids = np.asarray(list(input_ids), np.int32)
         S = len(ids)
         cfg = self.config
 
-        feats_list, deep_list, grids = [], [], []
-        for patches, grid in images or []:
-            f, dsk = self.encode_images(patches, grid)
-            feats_list.append(f)
-            deep_list.append(dsk)
-            grids.append(grid)
+        def encode_all(items):
+            feats, deeps, grids = [], [], []
+            for patches, grid in items or []:
+                f, dsk = self.encode_images(patches, grid)
+                feats.append(f)
+                deeps.append(dsk)
+                grids.append(grid)
+            return feats, deeps, grids
+
+        img_feats, img_deep, img_grids = encode_all(images)
+        # video frames are separate attention blocks in the vision tower (HF
+        # builds per-frame cu_seqlens), so encode each frame independently —
+        # identical math, and all frames share one compiled shape
+        per_frame = []
+        for patches, (t, h, w) in videos or []:
+            fp = np.asarray(patches).reshape(t, h * w, -1)
+            per_frame.extend((fp[i], (1, h, w)) for i in range(t))
+        vid_feats, vid_deep, _ = encode_all(per_frame)
+        vid_grids = [grid for _, grid in (videos or [])]
 
         embeds = self.params["embed"][jnp.asarray(ids)][None].astype(self.dtype)
-        mask = ids == self.image_token_id
-        if feats_list:
+        img_mask = ids == self.image_token_id
+        vid_mask = ids == self.video_token_id
+        mask = img_mask | vid_mask
+        deep_parts = []  # (positions, deepstack [L, n, E]) per modality
+        for m, feats_list, deep_list in (
+            (img_mask, img_feats, img_deep), (vid_mask, vid_feats, vid_deep)
+        ):
+            if not feats_list:
+                continue
             feats = jnp.concatenate(feats_list, axis=0)
-            deepstack = jnp.concatenate(deep_list, axis=1)
-            (vis_pos,) = np.where(mask)
-            assert len(vis_pos) == feats.shape[0], (len(vis_pos), feats.shape)
-            embeds = embeds.at[0, vis_pos].set(feats.astype(self.dtype))
+            (pos,) = np.where(m)
+            assert len(pos) == feats.shape[0], (len(pos), feats.shape)
+            embeds = embeds.at[0, pos].set(feats.astype(self.dtype))
+            deep_parts.append((pos, jnp.concatenate(deep_list, axis=1)))
+        if deep_parts:
+            # merge deepstack features in token-position order across modalities
+            (all_pos,) = np.where(mask)
+            L = deep_parts[0][1].shape[0]
+            deepstack = jnp.zeros((L, len(all_pos), cfg.hidden_size), self.dtype)
+            lookup = {p: i for i, p in enumerate(all_pos)}
+            for pos, d in deep_parts:
+                idx = np.asarray([lookup[p] for p in pos])
+                deepstack = deepstack.at[:, idx].set(d.astype(self.dtype))
         else:
             deepstack = jnp.zeros((0, 0, cfg.hidden_size), self.dtype)
 
-        pos3, delta = self.get_rope_index(ids, grids)
+        pos3, delta = self.get_rope_index(ids, img_grids, vid_grids)
         s_bucket = bucket_length(S, floor=64)
         pad = s_bucket - S
         embeds = jnp.pad(embeds, ((0, 0), (0, pad), (0, 0)))

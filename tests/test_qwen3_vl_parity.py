@@ -153,3 +153,81 @@ def test_text_only_generation(tiny):
 
     got = vlm.generate(ids, gen=GenerationConfig.greedy(6))
     assert got == ref
+
+
+VID_TOKEN = 151656
+VSTART = 151652
+
+
+def test_video_chat_generation_matches_hf(tiny):
+    """Video spans: per-frame t=1 rope spans with timestamp text between
+    frames (HF Qwen3VL splits video_grid_thw by t)."""
+    model, d = tiny
+    vlm = load_qwen3_vl(d, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    t, h, w = 2, 4, 4  # 2 temporal patches, 4x4 spatial -> 4 merged tokens/frame
+    pdim = 3 * 2 * 4 * 4
+    patches = rng.standard_normal((t * h * w, pdim)).astype(np.float32) * 0.5
+    per_frame = (h // 2) * (w // 2)
+    # timestamp-separated frame spans, as the HF video processor renders them
+    ids = ([5, 6]
+           + [11, VSTART] + [VID_TOKEN] * per_frame
+           + [12, VSTART] + [VID_TOKEN] * per_frame
+           + [7, 8, 9])
+
+    with torch.no_grad():
+        ref = model.generate(
+            input_ids=torch.tensor([ids]),
+            pixel_values_videos=torch.from_numpy(patches).float(),
+            video_grid_thw=torch.tensor([[t, h, w]]),
+            max_new_tokens=8, do_sample=False,
+            eos_token_id=None, pad_token_id=0,
+        )[0, len(ids):].tolist()
+
+    from crane_tpu.generation.config import GenerationConfig
+
+    got = vlm.generate(ids, videos=[(patches, (t, h, w))],
+                       gen=GenerationConfig.greedy(8))
+    assert got == ref
+
+
+def test_mixed_image_and_video_matches_hf(tiny):
+    """Image + video in one prompt: joint DeepStack merge in position order."""
+    model, d = tiny
+    vlm = load_qwen3_vl(d, dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+
+    img = _positional_image(16, 24)
+    ipatches, igrid = preprocess_image(
+        img, patch_size=4, merge_size=2, temporal_patch_size=2,
+        min_pixels=16, max_pixels=10**8,
+    )
+    n_img = (igrid[1] // 2) * (igrid[2] // 2)
+
+    t, h, w = 2, 4, 4
+    vpatches = rng.standard_normal((t * h * w, 3 * 2 * 4 * 4)).astype(np.float32) * 0.5
+    per_frame = (h // 2) * (w // 2)
+
+    ids = ([5, VSTART] + [VID_TOKEN] * per_frame
+           + [13, VSTART] + [VID_TOKEN] * per_frame
+           + [6, VSTART] + [IMG_TOKEN] * n_img
+           + [7, 9])
+
+    with torch.no_grad():
+        ref = model.generate(
+            input_ids=torch.tensor([ids]),
+            pixel_values=torch.from_numpy(ipatches).float(),
+            image_grid_thw=torch.tensor([list(igrid)]),
+            pixel_values_videos=torch.from_numpy(vpatches).float(),
+            video_grid_thw=torch.tensor([[t, h, w]]),
+            max_new_tokens=8, do_sample=False,
+            eos_token_id=None, pad_token_id=0,
+        )[0, len(ids):].tolist()
+
+    from crane_tpu.generation.config import GenerationConfig
+
+    got = vlm.generate(
+        ids, images=[(ipatches, igrid)], videos=[(vpatches, (t, h, w))],
+        gen=GenerationConfig.greedy(8),
+    )
+    assert got == ref
