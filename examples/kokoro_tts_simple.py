@@ -1,0 +1,43 @@
+"""Kokoro-style TTS: text -> G2P -> style-conditioned synthesis -> WAV
+(reference example kokoro path).
+
+Usage: python examples/kokoro_tts_simple.py --model-path /path/to/kokoro \
+           --text "Hello world" --voice af_heart --out out.wav
+The model dir needs tokenizer.json (phoneme vocab) and voices/*.bin; the
+synthesis net runs from converted weights when present, random-init otherwise.
+"""
+
+import argparse
+import glob
+import os
+
+import numpy as np
+
+from crane_tpu.audio.pcm import save_wav
+from crane_tpu.models.kokoro_tts import (
+    KokoroNetConfig,
+    KokoroSynthesizer,
+    KokoroTts,
+    load_voice_bin,
+    parse_vocab,
+)
+from crane_tpu.text.g2p import Phonemizer
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--model-path", required=True)
+ap.add_argument("--text", default="Hello world")
+ap.add_argument("--voice", default=None)
+ap.add_argument("--speed", type=float, default=1.0)
+ap.add_argument("--out", default="out.wav")
+args = ap.parse_args()
+
+vocab = parse_vocab(os.path.join(args.model_path, "tokenizer.json"))
+voices = {
+    os.path.splitext(os.path.basename(p))[0]: load_voice_bin(p)
+    for p in glob.glob(os.path.join(args.model_path, "voices", "*.bin"))
+}
+synth = KokoroSynthesizer(KokoroNetConfig(vocab_size=max(vocab.values()) + 1))
+tts = KokoroTts(vocab, voices, synth, phonemizer=Phonemizer())
+wav, sr = tts.generate_speech(args.text, voice=args.voice, speed=args.speed)
+save_wav(args.out, np.clip(wav, -1, 1), sr)
+print(f"wrote {args.out} ({len(wav)} samples @ {sr} Hz)")
