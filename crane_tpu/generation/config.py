@@ -22,6 +22,9 @@ class GenerationConfig:
     # Qwen chat templates: None lets the template default win (rendered as
     # jinja UNDEFINED — reference autotokenizer.rs:500-506)
     enable_thinking: bool | None = None
+    # KV-cache quantization: None (fp), 8 (int8) or 4 (nibble-packed int4 —
+    # the reference's CRANE_KV_QUANT long-context lever, qwen3_5/kv_cache.rs)
+    kv_quant_bits: int | None = None
 
     @staticmethod
     def greedy(max_new_tokens: int = 512, **kw) -> "GenerationConfig":

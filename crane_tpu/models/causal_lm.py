@@ -210,7 +210,7 @@ class CausalLM:
         prompt_len = len(input_ids)
         total = prompt_len + gen.max_new_tokens
         max_seq = bucket_length(total, floor=256)
-        cache = self.init_cache(1, max_seq)
+        cache = self.init_cache(1, max_seq, quant_bits=gen.kv_quant_bits)
 
         sp = SamplingParams.make(
             1,

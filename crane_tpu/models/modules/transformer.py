@@ -349,6 +349,35 @@ def attention_block(
         q, k = qk_normalize(q, k)
 
     new_cache = layer_cache.update(k, v, cache_positions, row=cache_row)
+    scale = cfg.query_scale if cfg.query_scale is not None else D ** -0.5
+
+    use_fused_quant = (
+        read_cache
+        and S == 1
+        and isinstance(new_cache, QuantLayerKVCache)
+        and extra_mask is None
+        and D % 64 == 0
+        and new_cache.max_seq % 256 == 0
+        and jax.default_backend() == "tpu"
+        and os.environ.get("CRANE_NO_QUANT_ATTN") != "1"
+    )
+    if use_fused_quant:
+        # decode over a quantized cache: dequant fused into the Pallas kernel,
+        # HBM moves int8/int4 bytes and only ceil(len/block) KV blocks per row
+        from crane_tpu.ops.pallas.quant_attention import quant_decode_attention
+
+        out = quant_decode_attention(
+            q, new_cache.k, new_cache.v, new_cache.k_scale, new_cache.v_scale,
+            positions[:, 0] + 1,
+            bits=new_cache.bits, scale=scale, window=window,
+            logit_softcap=cfg.attn_logit_softcap,
+            block_t=min(512, new_cache.max_seq),
+        )
+        if gate is not None:
+            out = out * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(out.dtype)
+        out = out.reshape(B, S, H * D)
+        return linear(out, p["wo"], p.get("bo")), new_cache
+
     if not read_cache:
         kc, vc = k, v
     elif hasattr(new_cache, "dequant"):
@@ -356,7 +385,6 @@ def attention_block(
     else:
         kc, vc = new_cache.k, new_cache.v
 
-    scale = cfg.query_scale if cfg.query_scale is not None else D ** -0.5
     use_flash = (
         not read_cache  # fresh prefill: positions 0..S-1, S == T
         and extra_mask is None

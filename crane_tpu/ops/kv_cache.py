@@ -70,14 +70,33 @@ class LayerKVCache:
         return LayerKVCache(k=k, v=v)
 
 
+def pack_int4(codes: jax.Array) -> jax.Array:
+    """Pack int4 codes (int8-typed, in [-7, 7]) two-per-byte along the last
+    dim: low nibble holds dims ``[0, D/2)``, high nibble ``[D/2, D)``.
+
+    The split-half (not interleaved) layout makes unpacking a shift + concat —
+    lane-friendly on the VPU, no stride-2 shuffles."""
+    d = codes.shape[-1]
+    assert d % 2 == 0, d
+    lo, hi = codes[..., : d // 2], codes[..., d // 2 :]
+    return jnp.bitwise_or(jnp.bitwise_and(lo, 0xF), jnp.left_shift(hi, 4))
+
+
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """Inverse of :func:`pack_int4`: ``[..., D/2]`` int8 -> ``[..., D]`` int8.
+    Arithmetic right shifts sign-extend the nibbles."""
+    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)
+    hi = jnp.right_shift(packed, 4)
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
 def _quant_symmetric(x: jax.Array, bits: int) -> tuple[jax.Array, jax.Array]:
     """Per-(token, head) symmetric quantization over the head_dim axis.
 
     Mirrors the reference's per-token symmetric scheme: scale = amax/qmax
     (qwen3_5/kv_cache.rs:209-342). Returns (int8 codes, f32 scales [..., 1]).
-    For bits=4, codes are still int8-typed but in [-7, 7]; nibble packing is a
-    memory-layout detail handled by the caller when it matters.
-    """
+    For bits=4 the codes are in [-7, 7]; storage packing is the cache's job
+    (:func:`pack_int4`)."""
     qmax = float(2 ** (bits - 1) - 1)
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
     scale = amax / qmax
@@ -89,10 +108,16 @@ def _quant_symmetric(x: jax.Array, bits: int) -> tuple[jax.Array, jax.Array]:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class QuantLayerKVCache:
-    """int8/int4 KV cache with per-(token, head) scales, dequantize-on-read.
+    """int8 / nibble-packed int4 KV cache with per-(token, head) scales.
 
-    k/v: ``[B, S_max, H, D]`` int8 codes; k_scale/v_scale: ``[B, S_max, H, 1]``
-    f32. ``bits`` (4 or 8) is static metadata.
+    k/v codes: ``[B, S_max, H, D]`` int8 (bits=8) or ``[B, S_max, H, D/2]``
+    int8 with two 4-bit codes per byte (bits=4 — half int8's HBM bytes, the
+    reference's 0.31x long-context lever, qwen3_5/kv_cache.rs:209-342).
+    k_scale/v_scale: ``[B, H, S_max]`` f32 — head-major so the fused decode
+    attention kernel reads a scale row per (batch, head) block without a
+    per-step relayout. Dequantize-on-read; at decode time the dequant is
+    fused into the Pallas attention kernel (ops/pallas/quant_attention.py),
+    the reference's stated follow-up (kv_cache.rs:217-221).
     """
 
     k: jax.Array
@@ -104,8 +129,10 @@ class QuantLayerKVCache:
     @staticmethod
     def empty(batch: int, max_seq: int, n_kv_heads: int, head_dim: int, dtype=None, *, bits: int = 8) -> "QuantLayerKVCache":
         del dtype  # codes are always int8; kept for signature parity
-        shape = (batch, max_seq, n_kv_heads, head_dim)
-        sshape = (batch, max_seq, n_kv_heads, 1)
+        assert bits in (4, 8), bits
+        stored = head_dim // 2 if bits == 4 else head_dim
+        shape = (batch, max_seq, n_kv_heads, stored)
+        sshape = (batch, n_kv_heads, max_seq)
         return QuantLayerKVCache(
             k=jnp.zeros(shape, jnp.int8),
             v=jnp.zeros(shape, jnp.int8),
@@ -118,6 +145,17 @@ class QuantLayerKVCache:
     def max_seq(self) -> int:
         return self.k.shape[1]
 
+    @property
+    def head_dim(self) -> int:
+        return self.k.shape[3] * 2 if self.bits == 4 else self.k.shape[3]
+
+    def _encode(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
+        q, s = _quant_symmetric(x, self.bits)
+        if self.bits == 4:
+            q = pack_int4(q)
+        # [B, S, H, 1] -> head-major [B, H, S]
+        return q, s[..., 0].transpose(0, 2, 1)
+
     def update(
         self,
         k_new: jax.Array,
@@ -125,32 +163,43 @@ class QuantLayerKVCache:
         positions: jax.Array,
         row: jax.Array | None = None,
     ) -> "QuantLayerKVCache":
-        kq, ks = _quant_symmetric(k_new, self.bits)
-        vq, vs = _quant_symmetric(v_new, self.bits)
+        kq, ks = self._encode(k_new)
+        vq, vs = self._encode(v_new)
         if positions.ndim == 0:
             r = jnp.asarray(0 if row is None else row, jnp.int32)
             at = (r, positions, 0, 0)
+            sat = (r, 0, positions)
             return QuantLayerKVCache(
                 k=jax.lax.dynamic_update_slice(self.k, kq, at),
                 v=jax.lax.dynamic_update_slice(self.v, vq, at),
-                k_scale=jax.lax.dynamic_update_slice(self.k_scale, ks, at),
-                v_scale=jax.lax.dynamic_update_slice(self.v_scale, vs, at),
+                k_scale=jax.lax.dynamic_update_slice(self.k_scale, ks, sat),
+                v_scale=jax.lax.dynamic_update_slice(self.v_scale, vs, sat),
                 bits=self.bits,
             )
         assert positions.ndim == 1 and k_new.shape[1] == 1
-        b = jnp.arange(k_new.shape[0])[:, None]
+        B = k_new.shape[0]
+        H = self.k.shape[2]
+        b = jnp.arange(B)[:, None]
         p = positions[:, None]
+        bh = jnp.arange(B)[:, None]
+        hh = jnp.arange(H)[None, :]
         return QuantLayerKVCache(
             k=self.k.at[b, p].set(kq, mode="drop"),
             v=self.v.at[b, p].set(vq, mode="drop"),
-            k_scale=self.k_scale.at[b, p].set(ks, mode="drop"),
-            v_scale=self.v_scale.at[b, p].set(vs, mode="drop"),
+            k_scale=self.k_scale.at[bh, hh, p].set(ks[:, :, 0], mode="drop"),
+            v_scale=self.v_scale.at[bh, hh, p].set(vs[:, :, 0], mode="drop"),
             bits=self.bits,
         )
 
     def dequant(self, compute_dtype=jnp.bfloat16) -> tuple[jax.Array, jax.Array]:
-        k = (self.k.astype(jnp.float32) * self.k_scale).astype(compute_dtype)
-        v = (self.v.astype(jnp.float32) * self.v_scale).astype(compute_dtype)
+        """XLA reference read path: full dequantized K/V ``[B, S, H, D]``."""
+        kc, vc = self.k, self.v
+        if self.bits == 4:
+            kc, vc = unpack_int4(kc), unpack_int4(vc)
+        ks = self.k_scale.transpose(0, 2, 1)[..., None]  # [B, S, H, 1]
+        vs = self.v_scale.transpose(0, 2, 1)[..., None]
+        k = (kc.astype(jnp.float32) * ks).astype(compute_dtype)
+        v = (vc.astype(jnp.float32) * vs).astype(compute_dtype)
         return k, v
 
 

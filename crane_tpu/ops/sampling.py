@@ -81,6 +81,23 @@ def apply_repetition_penalty(
     return jnp.where(seen, jnp.where(logits > 0, logits / p, logits * p), logits)
 
 
+def _exact_top_p_sample(scaled: jax.Array, top_p: jax.Array, key: jax.Array) -> jax.Array:
+    """Full-vocab exact nucleus sampling (the slow path): sort the whole
+    distribution, find the per-row nucleus value cutoff, Gumbel-max over the
+    kept tokens. Only rows whose nucleus exceeds the fast path's candidate cap
+    use this result; top_k is ignored because a restrictive top_k (< cap)
+    already makes the fast path exact."""
+    sorted_vals = jnp.sort(scaled, axis=-1)[:, ::-1]
+    probs = jax.nn.softmax(sorted_vals, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = (cum - probs) < top_p[:, None]  # always keeps rank 0
+    last = jnp.sum(keep.astype(jnp.int32), axis=-1) - 1
+    cutoff = jnp.take_along_axis(sorted_vals, last[:, None], axis=-1)
+    masked = jnp.where(scaled >= cutoff, scaled, _NEG_INF)
+    gumbel = jax.random.gumbel(key, scaled.shape, dtype=jnp.float32)
+    return jnp.argmax(masked + gumbel, axis=-1).astype(jnp.int32)
+
+
 def sample(
     logits: jax.Array,
     params: SamplingParams,
@@ -91,9 +108,14 @@ def sample(
 ) -> jax.Array:
     """Sample one token per row from ``logits`` ``[B, V]``. Returns ``[B]`` i32.
 
-    Candidate set is the static top-``top_k_cap`` logits; per-row dynamic
-    ``top_k``/``top_p`` mask within it, then Gumbel-max draws the sample —
-    exactly the reference's GPU fast path (sampling.rs:282-349).
+    Fast path: the candidate set is the static top-``top_k_cap`` logits;
+    per-row dynamic ``top_k``/``top_p`` mask within it, then Gumbel-max —
+    the reference's GPU fast path (sampling.rs:282-349). When a row's nucleus
+    is wider than the cap (cum prob of the top-cap set < top_p), the
+    reference falls back to exact CPU sampling (sampling.rs:206-239); here the
+    fallback is an in-graph full-vocab sort under ``lax.cond``, so the cost is
+    paid only on steps where some row actually truncates — the token still
+    never leaves the device.
     """
     logits = logits.astype(jnp.float32)
     logits = apply_repetition_penalty(logits, recent_tokens, params.repetition_penalty)
@@ -109,6 +131,19 @@ def sample(
     k = jnp.where(params.top_k > 0, jnp.minimum(params.top_k, cap), cap)[:, None]
     top_vals = jnp.where(pos < k, top_vals, _NEG_INF)
 
+    # nucleus-truncation detection: true probability mass of the candidate
+    # set within the FULL distribution (not the renormalized one)
+    lse_full = jax.nn.logsumexp(scaled, axis=-1)
+    lse_cand = jax.nn.logsumexp(top_vals, axis=-1)
+    cand_mass = jnp.exp(lse_cand - lse_full)
+    unrestricted_k = (params.top_k <= 0) | (params.top_k >= cap)
+    truncated = (
+        params.do_sample
+        & unrestricted_k
+        & (params.top_p < 1.0)
+        & (cand_mass < params.top_p)
+    )
+
     probs = jax.nn.softmax(top_vals, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
     keep = (cum - probs) < params.top_p[:, None]  # always keeps rank 0
@@ -116,7 +151,13 @@ def sample(
 
     gumbel = jax.random.gumbel(key, top_vals.shape, dtype=jnp.float32)
     choice = jnp.argmax(top_vals + gumbel, axis=-1)
-    sampled = jnp.take_along_axis(top_idx, choice[:, None], axis=-1)[:, 0]
+    fast = jnp.take_along_axis(top_idx, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
+
+    sampled = jax.lax.cond(
+        jnp.any(truncated),
+        lambda: jnp.where(truncated, _exact_top_p_sample(scaled, params.top_p, key), fast),
+        lambda: fast,
+    )
 
     return jnp.where(params.do_sample, sampled, greedy).astype(jnp.int32)
 

@@ -129,7 +129,11 @@ class TestKVCache:
         e8 = np.abs(np.asarray(c8.dequant(jnp.float32)[0]) - np.asarray(k)).max()
         e4 = np.abs(np.asarray(c4.dequant(jnp.float32)[0]) - np.asarray(k)).max()
         assert e4 > e8
-        assert np.abs(np.asarray(c4.k)).max() <= 7
+        # int4 codes are nibble-packed: half the storage bytes of int8
+        assert c4.k.nbytes * 2 == c8.k.nbytes
+        from crane_tpu.ops.kv_cache import unpack_int4
+
+        assert np.abs(np.asarray(unpack_int4(c4.k))).max() <= 7
 
 
 class TestAttention:
@@ -272,3 +276,51 @@ class TestSampling:
         r = jnp.asarray([[1, 2, 3]], dtype=jnp.int32)
         r2 = update_recent(r, jnp.asarray([9]))
         np.testing.assert_array_equal(np.asarray(r2), [[2, 3, 9]])
+
+    def test_wide_nucleus_exact_fallback(self):
+        """A nucleus wider than the top-64 candidate cap must NOT be silently
+        truncated (reference falls back to exact sampling,
+        engine/sampling.rs:206-239). Flat logits over 1000 tokens with
+        top_p=0.95 -> nucleus = 950 tokens; the fast path alone could only
+        ever emit ranks 0-63."""
+        V = 1000
+        logits = jnp.zeros((1, V), jnp.float32)  # exactly flat
+        sp = SamplingParams.make(1, top_p=0.95, do_sample=True, temperature=1.0)
+        recent = jnp.full((1, 4), -1, jnp.int32)
+        draws = jax.vmap(
+            lambda k: sample(logits, sp, recent, k)[0]
+        )(jax.random.split(jax.random.PRNGKey(0), 512))
+        draws = np.asarray(draws)
+        # support extends past the cap and stays inside the vocab
+        assert draws.max() >= 64, draws.max()
+        assert draws.min() >= 0 and draws.max() < V
+        # roughly uniform: no single token dominates 512 flat draws
+        _, counts = np.unique(draws, return_counts=True)
+        assert counts.max() <= 8, counts.max()
+
+    def test_peaked_nucleus_keeps_fast_path_distribution(self):
+        """When the nucleus fits in the cap, results match the pre-fallback
+        fast path bit-for-bit (the lax.cond false branch)."""
+        logits = rng(2, 500, seed=11) * 8.0  # peaked enough for p=0.9
+        sp = SamplingParams.make(2, top_p=0.9, do_sample=True, temperature=1.0)
+        recent = jnp.full((2, 4), -1, jnp.int32)
+        for s in range(8):
+            t = sample(logits, sp, recent, jax.random.PRNGKey(s))
+            assert np.asarray(t).min() >= 0
+
+    def test_exact_fallback_respects_nucleus_boundary(self):
+        """Two-tier distribution: a 200-token high tier wider than the cap
+        (top-64 mass ~0.32 < top_p=0.5 -> fallback triggers). The exact path
+        must widen the support past the cap but never into the low tier."""
+        V = 400
+        v = np.full(V, -8.0, np.float32)
+        v[:200] = 0.0  # uniform high tier
+        sp = SamplingParams.make(1, top_p=0.5, do_sample=True, temperature=1.0)
+        recent = jnp.full((1, 4), -1, jnp.int32)
+        draws = np.asarray(
+            jax.vmap(lambda k: sample(jnp.asarray(v[None]), sp, recent, k)[0])(
+                jax.random.split(jax.random.PRNGKey(1), 256)
+            )
+        )
+        assert draws.max() >= 64  # support widened past the fast-path cap
+        assert draws.max() < 200  # ...but never into the low tier

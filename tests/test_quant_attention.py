@@ -1,0 +1,147 @@
+"""int4 KV nibble packing + fused-dequant decode attention kernel.
+
+The packing invariant the reference's long-context story depends on
+(qwen3_5/kv_cache.rs:209-342, README.md:374-383): int4 cache arrays are HALF
+int8's bytes. The kernel parity bar mirrors the reference's
+CRANE_GDN_PORTABLE pattern: Pallas path vs the XLA dequant reference path.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from crane_tpu.ops.attention import gqa_attention
+from crane_tpu.ops.kv_cache import (
+    QuantLayerKVCache,
+    pack_int4,
+    unpack_int4,
+)
+from crane_tpu.ops.pallas.quant_attention import quant_decode_attention
+
+
+class TestInt4Packing:
+    def test_roundtrip(self):
+        rng = np.random.default_rng(0)
+        codes = rng.integers(-7, 8, size=(3, 5, 2, 64), dtype=np.int8)
+        packed = pack_int4(jnp.asarray(codes))
+        assert packed.shape == (3, 5, 2, 32)
+        out = np.asarray(unpack_int4(packed))
+        np.testing.assert_array_equal(out, codes)
+
+    def test_full_nibble_range(self):
+        codes = jnp.asarray(np.array([range(-8, 8)], dtype=np.int8))
+        np.testing.assert_array_equal(
+            np.asarray(unpack_int4(pack_int4(codes))), np.asarray(codes)
+        )
+
+    def test_int4_cache_is_half_the_bytes_of_int8(self):
+        c8 = QuantLayerKVCache.empty(2, 128, 4, 64, bits=8)
+        c4 = QuantLayerKVCache.empty(2, 128, 4, 64, bits=4)
+        assert c4.k.nbytes * 2 == c8.k.nbytes
+        assert c4.v.nbytes * 2 == c8.v.nbytes
+        assert c4.k_scale.shape == c8.k_scale.shape
+        assert c4.head_dim == c8.head_dim == 64
+
+    @pytest.mark.parametrize("bits", [8, 4])
+    def test_dequant_roundtrip_error_bound(self, bits):
+        rng = np.random.default_rng(1)
+        k = jnp.asarray(rng.normal(size=(1, 4, 2, 64)).astype(np.float32))
+        c = QuantLayerKVCache.empty(1, 4, 2, 64, bits=bits).update(
+            k, k, jnp.asarray(0)
+        )
+        kd, vd = c.dequant(jnp.float32)
+        qmax = 7 if bits == 4 else 127
+        bound = np.abs(np.asarray(k)).max(axis=-1, keepdims=True) / qmax * 0.51
+        assert np.all(np.abs(np.asarray(kd) - np.asarray(k)) <= bound + 1e-6)
+        np.testing.assert_array_equal(np.asarray(kd), np.asarray(vd))
+
+
+def _reference_decode(q, cache, q_positions, *, scale, window=None, softcap=None):
+    kc, vc = cache.dequant(q.dtype)
+    return gqa_attention(
+        q, kc, vc, q_positions, scale=scale, window=window, logit_softcap=softcap
+    )
+
+
+def _setup(bits, *, B=2, T=256, Hq=4, Hkv=2, D=64, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    lengths = np.array([T // 2 - 3, T][:B][:B], dtype=np.int32)
+    if B > 2:
+        lengths = rng.integers(1, T + 1, size=B).astype(np.int32)
+    cache = QuantLayerKVCache.empty(B, T, Hkv, D, bits=bits)
+    # fill each row to its length via one aligned prefill per row
+    for b in range(B):
+        kv = jnp.asarray(rng.normal(size=(1, int(lengths[b]), Hkv, D)).astype(np.float32), dtype)
+        v = jnp.asarray(rng.normal(size=(1, int(lengths[b]), Hkv, D)).astype(np.float32), dtype)
+        cache = cache.update(kv, v, jnp.asarray(0), row=jnp.asarray(b))
+    q = jnp.asarray(rng.normal(size=(B, 1, Hq, D)).astype(np.float32), dtype)
+    return q, cache, jnp.asarray(lengths)
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_kernel_matches_xla_dequant_path(bits):
+    q, cache, lengths = _setup(bits)
+    scale = 0.125
+    out = quant_decode_attention(
+        q, cache.k, cache.v, cache.k_scale, cache.v_scale, lengths,
+        bits=bits, scale=scale, block_t=128, interpret=True,
+    )
+    ref = _reference_decode(q, cache, (lengths - 1)[:, None], scale=scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_kernel_window_and_softcap():
+    q, cache, lengths = _setup(8, T=256)
+    out = quant_decode_attention(
+        q, cache.k, cache.v, cache.k_scale, cache.v_scale, lengths,
+        bits=8, scale=0.125, window=64, logit_softcap=30.0,
+        block_t=128, interpret=True,
+    )
+    ref = _reference_decode(
+        q, cache, (lengths - 1)[:, None], scale=0.125, window=64, softcap=30.0
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_kernel_empty_row_is_finite():
+    q, cache, _ = _setup(8, T=256)
+    lengths = jnp.asarray(np.array([0, 5], dtype=np.int32))
+    out = quant_decode_attention(
+        q, cache.k, cache.v, cache.k_scale, cache.v_scale, lengths,
+        bits=8, scale=0.125, block_t=128, interpret=True,
+    )
+    assert np.all(np.isfinite(np.asarray(out)))
+    np.testing.assert_array_equal(np.asarray(out[0]), 0.0)
+
+
+def test_kernel_ragged_batch():
+    q, cache, _ = _setup(4, B=2, T=512)
+    lengths = jnp.asarray(np.array([1, 389], dtype=np.int32))
+    out = quant_decode_attention(
+        q, cache.k, cache.v, cache.k_scale, cache.v_scale, lengths,
+        bits=4, scale=0.1, block_t=128, interpret=True,
+    )
+    ref = _reference_decode(q, cache, (lengths - 1)[:, None], scale=0.1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_decode_after_prefill_matches_full_recompute():
+    """End-to-end invariant through the cache API: quantize-at-write +
+    fused-read decode ≡ dequant + masked SDPA over the same codes."""
+    rng = np.random.default_rng(7)
+    B, T, Hkv, Hq, D = 1, 128, 2, 4, 64
+    cache = QuantLayerKVCache.empty(B, T, Hkv, D, bits=4)
+    pre = jnp.asarray(rng.normal(size=(B, 40, Hkv, D)).astype(np.float32))
+    cache = cache.update(pre, pre * 0.5, jnp.asarray(0))
+    # one decode step appended per-row
+    k1 = jnp.asarray(rng.normal(size=(B, 1, Hkv, D)).astype(np.float32))
+    cache = cache.update(k1, k1, jnp.asarray(np.array([40], dtype=np.int32)))
+    q = jnp.asarray(rng.normal(size=(B, 1, Hq, D)).astype(np.float32))
+    lengths = jnp.asarray(np.array([41], dtype=np.int32))
+    out = quant_decode_attention(
+        q, cache.k, cache.v, cache.k_scale, cache.v_scale, lengths,
+        bits=4, scale=D**-0.5, block_t=128, interpret=True,
+    )
+    ref = _reference_decode(q, cache, (lengths - 1)[:, None], scale=D**-0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
