@@ -48,6 +48,14 @@ def load_model(path: str, **kwargs):
         from crane_tpu.models.gemma3n import from_pretrained as g3n
 
         return g3n(path, **{k: v for k, v in kwargs.items() if k in ("dtype", "max_seq")})
+    if mt in ("qwen3_asr", "qwen3_omni_moe_asr"):
+        from crane_tpu.models.qwen3_asr import load_qwen3_asr
+
+        return load_qwen3_asr(path, **{k: v for k, v in kwargs.items() if k == "dtype"})
+    if mt == "qwen2_audio":
+        from crane_tpu.models.qwen2_audio import load_qwen2_audio
+
+        return load_qwen2_audio(path, **{k: v for k, v in kwargs.items() if k == "dtype"})
     from crane_tpu.models.auto import from_pretrained
 
     return from_pretrained(path, **kwargs)

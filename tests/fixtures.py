@@ -11,7 +11,7 @@ CHATML_TEMPLATE = (
 )
 
 
-def make_tiny_tokenizer(dirpath: str, vocab_size: int = 400):
+def make_tiny_tokenizer(dirpath: str, vocab_size: int = 400, extra_tokens=()):
     from tokenizers import Tokenizer, decoders, models, pre_tokenizers, trainers
 
     tok = Tokenizer(models.BPE())
@@ -19,7 +19,7 @@ def make_tiny_tokenizer(dirpath: str, vocab_size: int = 400):
     tok.decoder = decoders.ByteLevel()
     trainer = trainers.BpeTrainer(
         vocab_size=vocab_size,
-        special_tokens=["<|im_start|>", "<|im_end|>", "<|endoftext|>"],
+        special_tokens=["<|im_start|>", "<|im_end|>", "<|endoftext|>", *extra_tokens],
     )
     tok.train_from_iterator(
         ["hello world how are you today? fine thanks. the weather is nice."] * 20,
