@@ -72,22 +72,24 @@ class LayerKVCache:
 
 def pack_int4(codes: jax.Array) -> jax.Array:
     """Pack int4 codes (int8-typed, in [-7, 7]) two-per-byte along the last
-    dim: low nibble holds dims ``[0, D/2)``, high nibble ``[D/2, D)``.
+    dim: ``byte = 16 * codes[D/2:] + codes[:D/2]`` (arithmetic, not bitwise).
 
-    The split-half (not interleaved) layout makes unpacking a shift + concat —
-    lane-friendly on the VPU, no stride-2 shuffles."""
+    Max |byte| = 16*7+7 = 119, inside int8. The arithmetic scheme is chosen
+    for the TPU: Mosaic cannot legalize int8 vector shifts, but the unpack
+    ``hi = floor((b+8)/16); lo = b - 16*hi`` is exact in f32 (all values are
+    small integers), so the Pallas kernel dequantizes with three VPU ops."""
     d = codes.shape[-1]
     assert d % 2 == 0, d
     lo, hi = codes[..., : d // 2], codes[..., d // 2 :]
-    return jnp.bitwise_or(jnp.bitwise_and(lo, 0xF), jnp.left_shift(hi, 4))
+    return hi * jnp.int8(16) + lo
 
 
 def unpack_int4(packed: jax.Array) -> jax.Array:
-    """Inverse of :func:`pack_int4`: ``[..., D/2]`` int8 -> ``[..., D]`` int8.
-    Arithmetic right shifts sign-extend the nibbles."""
-    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)
-    hi = jnp.right_shift(packed, 4)
-    return jnp.concatenate([lo, hi], axis=-1)
+    """Inverse of :func:`pack_int4`: ``[..., D/2]`` int8 -> ``[..., D]`` int8."""
+    p = packed.astype(jnp.int16)
+    hi = jnp.floor_divide(p + 8, 16)
+    lo = p - 16 * hi
+    return jnp.concatenate([lo, hi], axis=-1).astype(jnp.int8)
 
 
 def _quant_symmetric(x: jax.Array, bits: int) -> tuple[jax.Array, jax.Array]:
