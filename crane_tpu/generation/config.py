@@ -40,6 +40,10 @@ class SpeechOptions:
     speed: float = 1.0
     max_new_tokens: int = 2048
     seed: int = 0
+    # sampling (vendor Qwen3-TTS defaults: top-k 50 then top-p w/ temperature)
+    temperature: float = 0.9
+    top_p: float = 1.0
+    repetition_penalty: float = 1.05
 
 
 @dataclasses.dataclass

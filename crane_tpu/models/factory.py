@@ -48,6 +48,10 @@ def load_model(path: str, **kwargs):
         from crane_tpu.models.gemma3n import from_pretrained as g3n
 
         return g3n(path, **{k: v for k, v in kwargs.items() if k in ("dtype", "max_seq")})
+    if mt == "qwen3_tts":
+        from crane_tpu.models.qwen3_tts import load_qwen3_tts
+
+        return load_qwen3_tts(path, **{k: v for k, v in kwargs.items() if k == "dtype"})
     if mt in ("qwen3_asr", "qwen3_omni_moe_asr"):
         from crane_tpu.models.qwen3_asr import load_qwen3_asr
 

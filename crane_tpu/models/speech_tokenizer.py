@@ -1,0 +1,403 @@
+"""Qwen3-TTS speech tokenizer v2: 16-codebook RVQGAN decoder (+ chunked decode).
+
+Reference behavior (/root/reference/crane-core/src/models/qwen3_tts/
+speech_tokenizer_v2.rs): codes ``[B, 16, T]`` -> split residual VQ decode
+(semantic codebook 0 via rvq_first, acoustic 1..15 via rvq_rest, summed)
+-> causal pre_conv (k=3) -> 8-layer sliding-window(72) RoPE transformer with
+LayerScale + SwiGLU (:406-483) -> two x2 upsample stages (causal transposed
+conv + ConvNeXt block, :536-575, :666-698) -> decoder tail: conv(7) -> four
+DecoderBlocks (SnakeBeta + transposed conv x[8,5,4,3] + 3 dilated residual
+units, :605-664) -> SnakeBeta -> conv(7) -> clamp(-1, 1). total_upsample =
+2*2*8*5*4*3 = 1920 -> 24 kHz at 12.5 Hz frames. ``chunked_decode`` decodes
+overlapping chunks with ``left_context`` frames of warm-up that get trimmed
+(:1650-1698) — the streaming TTS building block.
+
+All compute is f32 (the reference forces F32: SnakeBeta's exp/sin/sqr chain
+is precision-sensitive, :1475-1481). Weight layout matches the released
+``speech_tokenizer/`` safetensors (prefix ``decoder.``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class SpeechDecoderConfig:
+    codebook_size: int = 2048
+    hidden_size: int = 1024
+    latent_dim: int = 1024
+    codebook_dim: int = 1024
+    num_attention_heads: int = 16
+    num_key_value_heads: int = 16
+    head_dim: int = 64
+    sliding_window: int = 72
+    intermediate_size: int = 3072
+    rms_norm_eps: float = 1e-5
+    num_hidden_layers: int = 8
+    num_quantizers: int = 16
+    upsample_rates: tuple = (8, 5, 4, 3)
+    upsampling_ratios: tuple = (2, 2)
+    decoder_dim: int = 1536
+    rope_theta: float = 10000.0
+    output_sample_rate: int = 24000
+
+    @property
+    def total_upsample(self) -> int:
+        n = 1
+        for r in tuple(self.upsample_rates) + tuple(self.upsampling_ratios):
+            n *= r
+        return n
+
+
+# ── primitive layers (all [B, C, T] f32) ─────────────────────────────────
+
+
+def causal_conv(x, w, b, *, stride=1, dilation=1, groups=1):
+    """Reference CausalConvNet (:484-533): left pad (K_eff - stride), plus
+    right pad to the ideal frame count."""
+    K = w.shape[-1]
+    eff = (K - 1) * dilation + 1
+    pad = max(eff - stride, 0)
+    L = x.shape[-1]
+    n_frames = (L - eff + pad) / stride + 1.0
+    ideal = (int(np.ceil(n_frames)) - 1) * stride + (eff - pad)
+    extra = max(ideal - L, 0)
+    x = jnp.pad(x, ((0, 0), (0, 0), (pad, extra)))
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride,), padding="VALID",
+        rhs_dilation=(dilation,), feature_group_count=groups,
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    if b is not None:
+        y = y + b[None, :, None]
+    return y
+
+
+def causal_trans_conv(x, w, b, *, stride):
+    """Reference CausalTransConvNet (:536-575): torch ConvTranspose1d
+    (weight ``[Cin, Cout, K]``, padding=0) as an lhs-dilated conv with the
+    flipped kernel (torch-parity formulation), then trim (K - stride) from
+    the right."""
+    K = w.shape[-1]
+    rhs = jnp.flip(w, axis=-1).transpose(1, 0, 2)  # -> [Cout, Cin, K] (OIH)
+    y = jax.lax.conv_general_dilated(
+        x, rhs, window_strides=(1,), padding=[(K - 1, K - 1)],
+        lhs_dilation=(stride,), dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    if b is not None:
+        y = y + b[None, :, None]
+    trim = max(K - stride, 0)
+    return y[..., : y.shape[-1] - trim] if trim else y
+
+
+def snake_beta(p, x):
+    """x + sin^2(alpha*x) / (beta + eps), alpha/beta stored in log space."""
+    a = jnp.exp(p["alpha"])[None, :, None]
+    b = jnp.exp(p["beta"])[None, :, None]
+    return x + (1.0 / (b + 1e-9)) * jnp.sin(a * x) ** 2
+
+
+def _rms(x, w, eps):
+    v = jnp.mean(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+    return (x * jax.lax.rsqrt(v + eps)) * w
+
+
+def _rope_halfsplit(x, cos, sin):
+    """[B, T, H, D] half-split rope."""
+    d2 = x.shape[-1] // 2
+    x1, x2 = x[..., :d2], x[..., d2:]
+    c = cos[None, :, None, :]
+    s = sin[None, :, None, :]
+    return jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
+
+
+def tokenizer_transformer(cfg: SpeechDecoderConfig, p: dict, x: jax.Array) -> jax.Array:
+    """x ``[B, T, latent]`` -> ``[B, T, latent]``: input_proj -> 8 layers
+    (RMS pre-norms, sliding-window causal RoPE attention, LayerScale,
+    SwiGLU) -> norm -> output_proj."""
+    B, T, _ = x.shape
+    H, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    h = x @ p["input_proj_w"] + p["input_proj_b"]
+
+    pos = jnp.arange(T, dtype=jnp.float32)
+    inv = 1.0 / (cfg.rope_theta ** (jnp.arange(0, D, 2, dtype=jnp.float32) / D))
+    freqs = jnp.outer(pos, inv)
+    cos, sin = jnp.cos(freqs), jnp.sin(freqs)
+
+    ti = jnp.arange(T)
+    mask = (ti[None, :] <= ti[:, None]) & (ti[:, None] - ti[None, :] < cfg.sliding_window)
+
+    for layer in p["layers"]:
+        r = h
+        n = _rms(h, layer["input_ln"], cfg.rms_norm_eps)
+        q = (n @ layer["wq"]).reshape(B, T, H, D)
+        k = (n @ layer["wk"]).reshape(B, T, Hkv, D)
+        v = (n @ layer["wv"]).reshape(B, T, Hkv, D)
+        q = _rope_halfsplit(q, cos, sin)
+        k = _rope_halfsplit(k, cos, sin)
+        G = H // Hkv
+        qg = q.reshape(B, T, Hkv, G, D)
+        s = jnp.einsum("bqkgd,btkd->bkgqt", qg, k, preferred_element_type=jnp.float32)
+        s = s * (D ** -0.5)
+        s = jnp.where(mask[None, None, None], s, -1e30)
+        a = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        o = jnp.einsum("bkgqt,btkd->bqkgd", a, v).reshape(B, T, H * D)
+        h = r + (o @ layer["wo"]) * layer["attn_scale"]
+        r = h
+        n = _rms(h, layer["post_ln"], cfg.rms_norm_eps)
+        m = (jax.nn.silu(n @ layer["gate"]) * (n @ layer["up"])) @ layer["down"]
+        h = r + m * layer["mlp_scale"]
+
+    h = _rms(h, p["norm"], cfg.rms_norm_eps)
+    return h @ p["output_proj_w"] + p["output_proj_b"]
+
+
+def convnext_block(p, x):
+    """ConvNeXt block on [B, C, T] (:666-698)."""
+    r = x
+    h = causal_conv(x, p["dw_w"], p["dw_b"], groups=x.shape[1])
+    h = h.transpose(0, 2, 1)  # [B, T, C]
+    mu = jnp.mean(h, axis=-1, keepdims=True)
+    var = jnp.var(h, axis=-1, keepdims=True)
+    h = (h - mu) * jax.lax.rsqrt(var + 1e-6) * p["ln_w"] + p["ln_b"]
+    h = jax.nn.gelu(h @ p["pw1_w"] + p["pw1_b"], approximate=False)
+    h = h @ p["pw2_w"] + p["pw2_b"]
+    h = h * p["gamma"]
+    return r + h.transpose(0, 2, 1)
+
+
+def residual_unit(p, x, *, dilation):
+    h = snake_beta(p["act1"], x)
+    h = causal_conv(h, p["conv1_w"], p["conv1_b"], dilation=dilation)
+    h = snake_beta(p["act2"], h)
+    h = causal_conv(h, p["conv2_w"], p["conv2_b"])
+    return x + h
+
+
+def decoder_block(p, x, *, up):
+    h = snake_beta(p["first_act"], x)
+    h = causal_trans_conv(h, p["up_w"], p["up_b"], stride=up)
+    for unit, dil in zip(p["units"], (1, 3, 9)):
+        h = residual_unit(unit, h, dilation=dil)
+    return h
+
+
+def rvq_decode(cfg: SpeechDecoderConfig, p: dict, codes: jax.Array) -> jax.Array:
+    """codes ``[B, K, T]`` int32 -> latent ``[B, codebook_dim, T]`` via the
+    split RVQ: codebook 0 through rvq_first, 1..K-1 through rvq_rest, sum."""
+    def rvq(branch, sub):  # sub: [B, k, T]
+        acc = None
+        for i in range(sub.shape[1]):
+            emb = branch["embeddings"][i]  # [bins, dim] (already usage-normalized at load)
+            q = emb[sub[:, i]]  # [B, T, dim]
+            acc = q if acc is None else acc + q
+        y = acc @ branch["out_proj"]  # [B, T, codebook_dim]
+        return y
+
+    first = rvq(p["rvq_first"], codes[:, :1])
+    if codes.shape[1] > 1:
+        first = first + rvq(p["rvq_rest"], codes[:, 1:])
+    return first.transpose(0, 2, 1)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def decode_frames(cfg: SpeechDecoderConfig, p: dict, codes: jax.Array) -> jax.Array:
+    """codes ``[B, num_quantizers, T]`` -> audio ``[B, 1, T * 1920]`` f32."""
+    h = rvq_decode(cfg, p, codes)
+    h = causal_conv(h, p["pre_conv_w"], p["pre_conv_b"])
+    h = tokenizer_transformer(cfg, p["pre_transformer"], h.transpose(0, 2, 1)).transpose(0, 2, 1)
+    for stage, ratio in zip(p["upsample"], cfg.upsampling_ratios):
+        h = causal_trans_conv(h, stage["up_w"], stage["up_b"], stride=ratio)
+        h = convnext_block(stage["convnext"], h)
+    h = causal_conv(h, p["head_conv_w"], p["head_conv_b"])
+    for block, up in zip(p["blocks"], cfg.upsample_rates):
+        h = decoder_block(block, h, up=up)
+    h = snake_beta(p["final_act"], h)
+    h = causal_conv(h, p["out_conv_w"], p["out_conv_b"])
+    return jnp.clip(h, -1.0, 1.0)
+
+
+class SpeechTokenizerDecoder:
+    """Codes -> 24 kHz waveform, with reference-parity chunked decoding."""
+
+    def __init__(self, config: SpeechDecoderConfig, params: dict):
+        self.config = config
+        self.params = params
+
+    @property
+    def sample_rate(self) -> int:
+        return self.config.output_sample_rate
+
+    def decode(self, codes: np.ndarray) -> np.ndarray:
+        """codes ``[B, T, K]`` (frame-major, talker output order) -> audio
+        ``[B, samples]``."""
+        c = jnp.asarray(np.asarray(codes), jnp.int32).transpose(0, 2, 1)
+        return np.asarray(decode_frames(self.config, self.params, c))[:, 0, :]
+
+    def decode_chunk(self, chunk_codes: np.ndarray, context_frames: int) -> np.ndarray:
+        """One streaming chunk ``[B, ctx+new, K]``: decode, trim the warm-up
+        context audio, return only the new frames' audio
+        (reference :1682-1698)."""
+        audio = self.decode(chunk_codes)
+        return audio[:, context_frames * self.config.total_upsample :]
+
+    def chunked_decode(
+        self, codes: np.ndarray, chunk_size: int = 300, left_context: int = 25
+    ) -> np.ndarray:
+        """Reference chunked_decode(:1650-1680): decode ``chunk_size``-frame
+        windows with ``left_context`` frames of overlap, trim the context."""
+        codes = np.asarray(codes)
+        B, T, _ = codes.shape
+        out = []
+        start = 0
+        while start < T:
+            ctx = min(left_context, start)
+            end = min(start + chunk_size, T)
+            out.append(self.decode_chunk(codes[:, start - ctx : end], ctx))
+            start = end
+        return np.concatenate(out, axis=1)
+
+
+def map_decoder_weights(cfg: SpeechDecoderConfig, sd: dict, prefix: str = "decoder.") -> dict:
+    """Map the released speech-tokenizer safetensors (``decoder.*``) to the
+    params tree. Codebooks are usage-normalized at load
+    (embedding_sum / clamp(cluster_usage), :700-736)."""
+    g = lambda n: np.asarray(sd[prefix + n], np.float32)
+
+    def rvq(name, n_q):
+        embs = []
+        for i in range(n_q):
+            s = g(f"quantizer.{name}.vq.layers.{i}._codebook.embedding_sum")
+            key = f"{prefix}quantizer.{name}.vq.layers.{i}._codebook.cluster_usage"
+            usage = np.asarray(sd[key], np.float32) if key in sd else np.ones(s.shape[0], np.float32)
+            embs.append(jnp.asarray(s / np.clip(usage, 1e-5, None)[:, None]))
+        w = g(f"quantizer.{name}.output_proj.weight")
+        if w.ndim == 3:
+            w = w[:, :, 0]
+        return {"embeddings": embs, "out_proj": jnp.asarray(w.T)}
+
+    def conv(n):
+        b = f"{prefix}{n}.conv.bias"
+        return (
+            jnp.asarray(g(n + ".conv.weight")),
+            jnp.asarray(np.asarray(sd[b], np.float32)) if b in sd else None,
+        )
+
+    def snake(n):
+        return {"alpha": jnp.asarray(g(n + ".alpha")), "beta": jnp.asarray(g(n + ".beta"))}
+
+    def res_unit(n):
+        c1w, c1b = conv(n + ".conv1")
+        c2w, c2b = conv(n + ".conv2")
+        return {
+            "act1": snake(n + ".act1"), "conv1_w": c1w, "conv1_b": c1b,
+            "act2": snake(n + ".act2"), "conv2_w": c2w, "conv2_b": c2b,
+        }
+
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        L = f"pre_transformer.layers.{i}."
+        t = lambda n: jnp.asarray(g(L + n).T)
+        layers.append({
+            "wq": t("self_attn.q_proj.weight"), "wk": t("self_attn.k_proj.weight"),
+            "wv": t("self_attn.v_proj.weight"), "wo": t("self_attn.o_proj.weight"),
+            "input_ln": jnp.asarray(g(L + "input_layernorm.weight")),
+            "post_ln": jnp.asarray(g(L + "post_attention_layernorm.weight")),
+            "attn_scale": jnp.asarray(g(L + "self_attn_layer_scale.scale")),
+            "mlp_scale": jnp.asarray(g(L + "mlp_layer_scale.scale")),
+            "gate": t("mlp.gate_proj.weight"), "up": t("mlp.up_proj.weight"),
+            "down": t("mlp.down_proj.weight"),
+        })
+    pre_transformer = {
+        "input_proj_w": jnp.asarray(g("pre_transformer.input_proj.weight").T),
+        "input_proj_b": jnp.asarray(g("pre_transformer.input_proj.bias")),
+        "output_proj_w": jnp.asarray(g("pre_transformer.output_proj.weight").T),
+        "output_proj_b": jnp.asarray(g("pre_transformer.output_proj.bias")),
+        "norm": jnp.asarray(g("pre_transformer.norm.weight")),
+        "layers": layers,
+    }
+
+    upsample = []
+    for i in range(len(cfg.upsampling_ratios)):
+        uw, ub = conv(f"upsample.{i}.0")
+        n = f"upsample.{i}.1"
+        dw, db = conv(n + ".dwconv")
+        upsample.append({
+            "up_w": uw, "up_b": ub,
+            "convnext": {
+                "dw_w": dw, "dw_b": db,
+                "ln_w": jnp.asarray(g(n + ".norm.weight")),
+                "ln_b": jnp.asarray(g(n + ".norm.bias")),
+                "pw1_w": jnp.asarray(g(n + ".pwconv1.weight").T),
+                "pw1_b": jnp.asarray(g(n + ".pwconv1.bias")),
+                "pw2_w": jnp.asarray(g(n + ".pwconv2.weight").T),
+                "pw2_b": jnp.asarray(g(n + ".pwconv2.bias")),
+                "gamma": jnp.asarray(g(n + ".gamma")),
+            },
+        })
+
+    blocks = []
+    for i in range(len(cfg.upsample_rates)):
+        n = f"decoder.{i + 1}.block"
+        uw, ub = conv(n + ".1")
+        blocks.append({
+            "first_act": snake(n + ".0"),
+            "up_w": uw, "up_b": ub,
+            "units": [res_unit(f"{n}.{j}") for j in (2, 3, 4)],
+        })
+
+    pc_w, pc_b = conv("pre_conv")
+    h_w, h_b = conv("decoder.0")
+    n_blocks = len(cfg.upsample_rates)
+    o_w, o_b = conv(f"decoder.{n_blocks + 2}")
+    return {
+        "rvq_first": rvq("rvq_first", 1),
+        "rvq_rest": rvq("rvq_rest", cfg.num_quantizers - 1),
+        "pre_conv_w": pc_w, "pre_conv_b": pc_b,
+        "pre_transformer": pre_transformer,
+        "upsample": upsample,
+        "head_conv_w": h_w, "head_conv_b": h_b,
+        "blocks": blocks,
+        "final_act": snake(f"decoder.{n_blocks + 1}"),
+        "out_conv_w": o_w, "out_conv_b": o_b,
+    }
+
+
+def load_speech_tokenizer(model_dir: str) -> SpeechTokenizerDecoder:
+    """Load from a released ``speech_tokenizer/`` directory (config.json with
+    decoder_config + safetensors with ``decoder.*`` tensors)."""
+    import json
+    import os
+
+    from crane_tpu.loaders.safetensors_loader import load_state_dict
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        raw = json.load(f)
+    dc = raw.get("decoder_config", raw)
+    cfg = SpeechDecoderConfig(
+        codebook_size=dc.get("codebook_size", 2048),
+        hidden_size=dc.get("hidden_size", 1024),
+        latent_dim=dc.get("latent_dim", 1024),
+        codebook_dim=dc.get("codebook_dim", 1024),
+        num_attention_heads=dc.get("num_attention_heads", 16),
+        num_key_value_heads=dc.get("num_key_value_heads", 16),
+        head_dim=dc.get("head_dim", 64),
+        sliding_window=dc.get("sliding_window", 72),
+        intermediate_size=dc.get("intermediate_size", 3072),
+        rms_norm_eps=dc.get("rms_norm_eps", 1e-5),
+        num_hidden_layers=dc.get("num_hidden_layers", 8),
+        num_quantizers=dc.get("num_quantizers", 16),
+        upsample_rates=tuple(dc.get("upsample_rates", (8, 5, 4, 3))),
+        upsampling_ratios=tuple(dc.get("upsampling_ratios", (2, 2))),
+        decoder_dim=dc.get("decoder_dim", 1536),
+        rope_theta=dc.get("rope_theta", 10000.0),
+        output_sample_rate=raw.get("output_sample_rate", 24000),
+    )
+    sd = load_state_dict(model_dir)
+    return SpeechTokenizerDecoder(cfg, map_decoder_weights(cfg, sd))

@@ -92,6 +92,98 @@ class CsmTts:
         yield self.generate_speech(text, options)
 
 
+class Qwen3Tts:
+    """Tts adapter over the Qwen3-TTS Talker/CodePredictor model, with true
+    frame-chunked streaming (reference prepare_streaming/generate_one_frame,
+    qwen3_tts/modeling.rs:1497-1658 + chunked decode :1650-1698)."""
+
+    def __init__(self, model, *, stream_frames: int = 25, left_context: int = 25):
+        self.model = model
+        self.stream_frames = stream_frames
+        self.left_context = left_context
+
+    def audio_info(self) -> AudioInfo:
+        sr = self.model.decoder.sample_rate if self.model.decoder else 24000
+        return AudioInfo(sample_rate=sr)
+
+    def supports_voice_cloning(self) -> bool:
+        return self.model.speaker_encoder is not None
+
+    def generate_speech(self, text: str, options: SpeechOptions | None = None) -> np.ndarray:
+        options = options or SpeechOptions()
+        wav, _ = self.model.generate_speech(
+            text, options.language or "auto", options.voice, options
+        )
+        return wav
+
+    def generate_voice_clone(
+        self,
+        text: str,
+        reference_audio: np.ndarray,
+        reference_text: str = "",
+        options: SpeechOptions | None = None,
+    ) -> np.ndarray:
+        options = options or SpeechOptions()
+        if self.model.speaker_encoder is None:
+            raise ValueError("no speaker encoder loaded")
+        spk = self.model.speaker_encoder(np.asarray(reference_audio, np.float32))
+        ref_codes = self.model.encode_reference(reference_audio)
+        ids = self.model.tokenizer.encode(text)
+        ref_ids = self.model.tokenizer.encode(reference_text) if reference_text else []
+        codes = self.model.generate_voice_clone_codes(
+            ids, ref_ids, ref_codes, spk, options.language or "auto", options
+        )
+        if codes.shape[0] == 0:
+            return np.zeros(0, np.float32)
+        return self.model.decoder.chunked_decode(codes[None], 300, 25)[0]
+
+    def generate_speech_stream(
+        self, text: str, options: SpeechOptions | None = None
+    ) -> Iterator[np.ndarray]:
+        """Yield PCM chunks as frames are generated: every ``stream_frames``
+        talker frames, decode the new frames with ``left_context`` frames of
+        warm-up context (trimmed), so audio starts before synthesis ends."""
+        options = options or SpeechOptions()
+        m = self.model
+        ids = m.tokenizer.encode(text)
+        state = m.prepare_streaming(ids, options.language or "auto", options.voice, options)
+        emitted = 0
+        for _ in range(options.max_new_tokens):
+            frame = m.generate_one_frame(state)
+            done = frame is None
+            pending = len(state.codes) - emitted
+            if (pending >= self.stream_frames or done) and pending > 0:
+                ctx = min(self.left_context, emitted)
+                chunk = np.asarray(
+                    state.codes[emitted - ctx : len(state.codes)], np.int32
+                )[None]
+                yield m.decoder.decode_chunk(chunk, ctx)[0]
+                emitted = len(state.codes)
+            if done:
+                break
+
+
+class Qwen3AsrAdapter:
+    """Asr adapter over Qwen3-ASR (AuT encoder + Qwen3 LLM)."""
+
+    def __init__(self, model):
+        self.model = model
+
+    def input_sample_rate(self) -> int:
+        return 16000
+
+    def transcribe(
+        self, samples: np.ndarray, options: TranscribeOptions | None = None
+    ) -> Transcript:
+        options = options or TranscribeOptions()
+        text = self.model.transcribe(
+            samples,
+            context=options.context or "",
+            max_new_tokens=options.max_new_tokens,
+        )
+        return Transcript(text=text, tokens=[])
+
+
 class MoonshineAsr:
     """Asr adapter over the Moonshine encoder-decoder."""
 

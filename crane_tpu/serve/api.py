@@ -252,6 +252,41 @@ class Server:
 
         opts = SpeechOptions(voice=p.get("voice"), speed=float(p.get("speed", 1.0)))
         loop = asyncio.get_running_loop()
+        if p.get("stream") and hasattr(self.tts, "generate_speech_stream"):
+            # frame-chunked PCM streaming (reference prepare_streaming /
+            # generate_one_frame, qwen3_tts/modeling.rs:1497-1658): audio
+            # chunks go out as the talker produces frames
+            from crane_tpu.audio.pcm import f32_to_i16
+
+            resp = web.StreamResponse(
+                headers={
+                    "Content-Type": "audio/pcm",
+                    "X-Sample-Rate": str(self.tts.audio_info().sample_rate),
+                }
+            )
+            await resp.prepare(request)
+            q: asyncio.Queue = asyncio.Queue()
+
+            def produce():
+                try:
+                    for chunk in self.tts.generate_speech_stream(text, opts):
+                        loop.call_soon_threadsafe(
+                            q.put_nowait, f32_to_i16(chunk).tobytes()
+                        )
+                except Exception as e:  # surfaced as stream truncation
+                    log.warning("tts stream error: %s", e)
+                finally:
+                    loop.call_soon_threadsafe(q.put_nowait, None)
+
+            fut = loop.run_in_executor(self._tts_pool, produce)
+            while True:
+                b = await q.get()
+                if b is None:
+                    break
+                await resp.write(b)
+            await fut
+            await resp.write_eof()
+            return resp
         try:
             wav = await loop.run_in_executor(
                 self._tts_pool, self.tts.generate_speech, text, opts
@@ -614,17 +649,35 @@ def main(argv=None):
 
         vlm = load_qwen3_vl(args.vlm_path, dtype=dtype)
     if args.tts_path:
-        from crane_tpu.models.csm_tts import load_csm
-        from crane_tpu.sdk.audio import CsmTts
+        from crane_tpu.models.auto import load_hf_config
         from crane_tpu.tokenizer.autotokenizer import AutoTokenizer
 
-        tts_model = load_csm(args.tts_path, dtype=dtype, with_codec=True)
-        tts = CsmTts(tts_model, AutoTokenizer.from_pretrained(args.tts_path))
-    if args.asr_path:
-        from crane_tpu.models.moonshine import load_moonshine
-        from crane_tpu.sdk.audio import MoonshineAsr
+        tts_hf = load_hf_config(args.tts_path)
+        if "talker_config" in tts_hf or tts_hf.get("model_type") == "qwen3_tts":
+            from crane_tpu.models.qwen3_tts import load_qwen3_tts
+            from crane_tpu.sdk.audio import Qwen3Tts
 
-        asr = MoonshineAsr(load_moonshine(args.asr_path, dtype=dtype))
+            tts = Qwen3Tts(load_qwen3_tts(args.tts_path, dtype=dtype))
+        else:
+            from crane_tpu.models.csm_tts import load_csm
+            from crane_tpu.sdk.audio import CsmTts
+
+            tts_model = load_csm(args.tts_path, dtype=dtype, with_codec=True)
+            tts = CsmTts(tts_model, AutoTokenizer.from_pretrained(args.tts_path))
+    if args.asr_path:
+        from crane_tpu.models.auto import load_hf_config
+
+        asr_hf = load_hf_config(args.asr_path)
+        if "talker_config" not in asr_hf and asr_hf.get("model_type", "").startswith("qwen3"):
+            from crane_tpu.models.qwen3_asr import load_qwen3_asr
+            from crane_tpu.sdk.audio import Qwen3AsrAdapter
+
+            asr = Qwen3AsrAdapter(load_qwen3_asr(args.asr_path, dtype=dtype))
+        else:
+            from crane_tpu.models.moonshine import load_moonshine
+            from crane_tpu.sdk.audio import MoonshineAsr
+
+            asr = MoonshineAsr(load_moonshine(args.asr_path, dtype=dtype))
 
     log.info("warming up (compiling prefill/decode programs)...")
     engine.warmup()

@@ -195,3 +195,70 @@ class TestEndpoints:
             assert (await r.json())["status"] == "ok"
 
         _run(served, fn)
+
+
+class _StubStreamTts:
+    """Minimal Tts with frame-chunked streaming for the endpoint test."""
+
+    def audio_info(self):
+        from crane_tpu.sdk.audio import AudioInfo
+
+        return AudioInfo(sample_rate=24000)
+
+    def supports_voice_cloning(self):
+        return False
+
+    def generate_speech(self, text, options=None):
+        import numpy as np
+
+        return np.zeros(480, np.float32)
+
+    def generate_speech_stream(self, text, options=None):
+        import numpy as np
+
+        for i in range(3):
+            yield np.full(240, 0.1 * (i + 1), np.float32)
+
+
+def test_audio_speech_stream_endpoint(tmp_path_factory):
+    """POST /v1/audio/speech with stream=true returns chunked PCM whose total
+    length equals the sum of the generator's chunks (reference streaming TTS,
+    qwen3_tts/modeling.rs:1497-1658); non-streaming still returns WAV."""
+    import asyncio
+
+    import jax.numpy as jnp
+
+    from crane_tpu.models.auto import from_pretrained
+    from crane_tpu.serve.api import Server, build_app
+    from crane_tpu.serve.engine import InferenceEngine
+    from tests.fixtures import make_tiny_qwen3_checkpoint
+
+    d = make_tiny_qwen3_checkpoint(str(tmp_path_factory.mktemp("sckpt") / "m"))
+    lm = from_pretrained(d, dtype=jnp.float32)
+    engine = InferenceEngine(lm, max_slots=1, max_seq_len=128, decode_tokens_per_seq=1)
+    engine.start()
+    try:
+        server = Server(engine, model_name="tiny", tts=_StubStreamTts())
+        from aiohttp.test_utils import TestClient, TestServer
+
+        async def go():
+            client = TestClient(TestServer(build_app(server)))
+            await client.start_server()
+            try:
+                resp = await client.post(
+                    "/v1/audio/speech", json={"input": "hello", "stream": True}
+                )
+                assert resp.status == 200
+                assert resp.headers["Content-Type"].startswith("audio/pcm")
+                assert resp.headers["X-Sample-Rate"] == "24000"
+                body = await resp.read()
+                assert len(body) == 3 * 240 * 2
+                resp2 = await client.post("/v1/audio/speech", json={"input": "hi"})
+                assert resp2.status == 200
+                return True
+            finally:
+                await client.close()
+
+        assert asyncio.run(go())
+    finally:
+        engine.stop()
