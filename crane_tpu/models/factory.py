@@ -48,6 +48,10 @@ def load_model(path: str, **kwargs):
         from crane_tpu.models.gemma3n import from_pretrained as g3n
 
         return g3n(path, **{k: v for k, v in kwargs.items() if k in ("dtype", "max_seq")})
+    if mt in ("paddleocr_vl", "paddleocr"):
+        from crane_tpu.models.paddleocr_vl import load_paddleocr_vl
+
+        return load_paddleocr_vl(path, **{k: v for k, v in kwargs.items() if k == "dtype"})
     if mt == "qwen3_tts":
         from crane_tpu.models.qwen3_tts import load_qwen3_tts
 

@@ -21,13 +21,32 @@ import jax
 import jax.numpy as jnp
 
 
+def pack_int4_rows(codes: jax.Array) -> jax.Array:
+    """Pack int4 codes ``[I, O]`` (int8-typed, [-7, 7]) two-per-byte along
+    the input dim: ``packed[i] = 16 * codes[I/2 + i] + codes[i]`` — the
+    arithmetic scheme the Pallas kernel unpacks exactly in f32 (int8 vector
+    shifts don't legalize on Mosaic)."""
+    i = codes.shape[0]
+    assert i % 2 == 0, i
+    return codes[i // 2 :] * jnp.int8(16) + codes[: i // 2]
+
+
+def unpack_int4_rows(packed: jax.Array) -> jax.Array:
+    p = packed.astype(jnp.int16)
+    hi = jnp.floor_divide(p + 8, 16)
+    lo = p - 16 * hi
+    return jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class QuantizedWeight:
     """Blockwise symmetric int8/int4 weight for ``y = x @ w``.
 
-    ``codes``: ``[in, out]`` int8 (int4 values stored in int8 range [-7, 7]);
-    ``scales``: ``[in // block, out]`` f32; ``block`` and ``bits`` static.
+    ``codes``: ``[in, out]`` int8 — except per-channel int4 (bits=4,
+    block == in), which is nibble-packed to ``[in/2, out]`` so HBM moves a
+    quarter of the bf16 bytes; ``scales``: ``[in // block, out]`` f32;
+    ``block`` and ``bits`` static.
     """
 
     codes: jax.Array
@@ -36,12 +55,21 @@ class QuantizedWeight:
     bits: int = dataclasses.field(metadata=dict(static=True), default=8)
 
     @property
+    def packed(self) -> bool:
+        return self.bits == 4 and self.codes.shape[0] == self.block // 2
+
+    @property
     def shape(self) -> tuple[int, int]:
-        return self.codes.shape
+        i, o = self.codes.shape
+        return (2 * i if self.packed else i, o)
+
+    def unpacked_codes(self) -> jax.Array:
+        return unpack_int4_rows(self.codes) if self.packed else self.codes
 
     def dequant(self, dtype=jnp.bfloat16) -> jax.Array:
-        i, o = self.codes.shape
-        w = self.codes.astype(jnp.float32).reshape(i // self.block, self.block, o)
+        codes = self.unpacked_codes()
+        i, o = codes.shape
+        w = codes.astype(jnp.float32).reshape(i // self.block, self.block, o)
         w = w * self.scales[:, None, :]
         return w.reshape(i, o).astype(dtype)
 
@@ -66,6 +94,8 @@ def quantize_weight(
         scale = amax / qmax
         inv = jnp.where(scale > 0, 1.0 / jnp.where(scale > 0, scale, 1.0), 0.0)
         codes = jnp.clip(jnp.round(wf * inv), -qmax, qmax).astype(jnp.int8)
+        if bits == 4 and i % 2 == 0:
+            codes = pack_int4_rows(codes)
         return QuantizedWeight(codes=codes, scales=scale, block=i, bits=bits)
     if i % block != 0:
         # reference falls back to Q8_0 when in_dim % 256 != 0; here we fall
@@ -100,22 +130,25 @@ def _w8a8_matmul(x: jax.Array, codes: jax.Array, scales: jax.Array) -> jax.Array
 def linear(x: jax.Array, w, b: jax.Array | None = None) -> jax.Array:
     """``y = x @ w (+ b)`` for dense arrays or :class:`QuantizedWeight`."""
     if isinstance(w, QuantizedWeight):
-        i, o = w.codes.shape
+        i, o = w.shape
         if w.block == i:
             import os
 
-            if (
-                os.environ.get("CRANE_PALLAS_QUANT") == "1"
-                and x.ndim == 2
+            pallas_ok = (
+                os.environ.get("CRANE_PALLAS_QUANT", "1" if w.packed else "0") == "1"
+                and jax.default_backend() == "tpu"
                 and i % 256 == 0
                 and o % 256 == 0
-            ):
-                from crane_tpu.ops.pallas.quant_matmul import quant_matmul_w8
+            )
+            if pallas_ok:
+                from crane_tpu.ops.pallas.quant_matmul import quant_matmul
 
-                y = quant_matmul_w8(
-                    x, w.codes, w.scales.reshape(1, o),
-                    block_i=min(512, i), block_o=min(512, o),
+                x2 = x.reshape(-1, i)
+                y = quant_matmul(
+                    x2, w.codes, w.scales.reshape(1, o), bits=w.bits,
+                    block_i=min(512, w.codes.shape[0]), block_o=min(512, o),
                 )
+                y = y.reshape(*x.shape[:-1], o)
             elif os.environ.get("CRANE_W8A8") == "1" and w.bits == 8:
                 # dynamic per-token activation quant + native s8xs8->s32 MXU
                 # matmul: int8 weight streaming AND double MXU rate. Error is
@@ -125,10 +158,13 @@ def linear(x: jax.Array, w, b: jax.Array | None = None) -> jax.Array:
             else:
                 # per-channel scales: MIXED-dtype dot keeps the weight int8 in
                 # HBM (the convert happens inside the dot's operand pipeline;
-                # an explicit .astype sometimes materializes a bf16 copy)
+                # an explicit .astype sometimes materializes a bf16 copy).
+                # Packed int4 must unpack first (XLA path; the Pallas kernel
+                # above is the no-materialize path)
+                codes = w.unpacked_codes()
                 contract = (((x.ndim - 1,), (0,)), ((), ()))
                 y = jax.lax.dot_general(
-                    x, w.codes, contract, preferred_element_type=jnp.float32
+                    x, codes, contract, preferred_element_type=jnp.float32
                 )
                 y = (y * w.scales.reshape(1, o)).astype(x.dtype)
         else:

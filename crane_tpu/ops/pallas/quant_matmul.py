@@ -1,13 +1,20 @@
-"""Pallas TPU kernel: int8-weight matmul with per-channel scales (w8a16).
+"""Pallas TPU kernel: int8/int4-weight matmul with per-channel scales.
 
 The decode gemv is HBM-bound on weight bytes; this kernel guarantees the
-weights cross HBM as int8 (half of bf16) with the convert happening in VMEM,
-independent of whether XLA chooses to fuse the convert into the dot
-(reference analog: QMatMul's fused dequant-matmul, ops/linear.rs).
+weights cross HBM as int8 (half of bf16) or packed int4 (a quarter) with the
+convert happening in VMEM, independent of whether XLA chooses to fuse the
+convert into the dot (reference analog: QMatMul's fused dequant-matmul,
+ops/linear.rs; q4 formats README.md:81).
 
-Grid: ``(O/block_o, I/block_i)`` with the contraction axis innermost
-(sequential), accumulating in f32 VMEM scratch; the scale multiply happens at
-the final contraction step.
+int4 packing pairs input-dim halves: ``packed[i, o] = 16 * codes[i + I/2, o]
++ codes[i, o]`` (crane_tpu.ops.linear.pack_int4_rows). The kernel unpacks in
+f32 (exact: ``hi = floor((b + 8)/16)``, ``lo = b - 16*hi`` — Mosaic cannot
+legalize int8 vector shifts) and runs two dots against the matching x halves,
+so no lane concat is ever materialized.
+
+Grid: ``(O/block_o, Ip/block_i)`` with the contraction axis innermost
+(sequential), accumulating in f32 VMEM scratch; the per-channel scale
+multiplies at the final contraction step.
 """
 
 from __future__ import annotations
@@ -20,7 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_ref, c_ref, s_ref, o_ref, acc):
+def _kernel_w8(x_ref, c_ref, s_ref, o_ref, acc):
     i = pl.program_id(1)
 
     @pl.when(i == 0)
@@ -36,39 +43,89 @@ def _kernel(x_ref, c_ref, s_ref, o_ref, acc):
         o_ref[0] = (acc[:] * s_ref[:]).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_o", "block_i", "interpret"))
-def quant_matmul_w8(
+def _kernel_w4(xlo_ref, xhi_ref, c_ref, s_ref, o_ref, acc):
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    pf = c_ref[:].astype(jnp.float32)  # [I_b, O_b] packed bytes
+    hi = jnp.floor((pf + 8.0) * 0.0625)
+    lo = pf - 16.0 * hi
+    xlo = xlo_ref[0].astype(jnp.bfloat16)
+    xhi = xhi_ref[0].astype(jnp.bfloat16)
+    acc[:] += jnp.dot(xlo, lo.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+    acc[:] += jnp.dot(xhi, hi.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _():
+        o_ref[0] = (acc[:] * s_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bits", "block_o", "block_i", "interpret")
+)
+def quant_matmul(
     x: jax.Array,
     codes: jax.Array,
     scales: jax.Array,
     *,
+    bits: int = 8,
     block_o: int = 512,
     block_i: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
-    """``y = (x @ codes) * scales`` — x ``[B, I]`` (compute dtype), codes
-    ``[I, O]`` int8, scales ``[1, O]`` f32. Returns ``[B, O]`` in x.dtype."""
+    """``y = (x @ dequant(codes)) * scales`` — x ``[B, I]`` (compute dtype),
+    codes ``[I, O]`` int8 (bits=8) or ``[I/2, O]`` packed int4 (bits=4),
+    scales ``[1, O]`` f32. Returns ``[B, O]`` in x.dtype."""
     B, I = x.shape
     O = codes.shape[1]
-    block_i = min(block_i, I)
+    Ip = codes.shape[0]  # I (int8) or I/2 (packed int4)
+    block_i = min(block_i, Ip)
     block_o = min(block_o, O)
-    assert I % block_i == 0 and O % block_o == 0, (I, O, block_i, block_o)
+    assert Ip % block_i == 0 and O % block_o == 0, (Ip, O, block_i, block_o)
 
-    return pl.pallas_call(
-        _kernel,
-        grid=(O // block_o, I // block_i),
-        in_specs=[
-            pl.BlockSpec((1, B, block_i), lambda o, i: (0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_i, block_o), lambda o, i: (i, o), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_o), lambda o, i: (0, o), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, B, block_o), lambda o, i: (0, 0, o), memory_space=pltpu.VMEM),
+    scales = scales.astype(jnp.float32)
+    common = dict(
+        out_specs=pl.BlockSpec((1, B, block_o), lambda o, i: (0, 0, o)),
         out_shape=jax.ShapeDtypeStruct((1, B, O), x.dtype),
         scratch_shapes=[pltpu.VMEM((B, block_o), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=int(2 * B * I * O),
-            bytes_accessed=int(I * O + B * I * 2 + B * O * 2),
+            bytes_accessed=int(Ip * O + B * I * 2 + B * O * 2),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x[None], codes, scales.astype(jnp.float32))[0]
+    )
+    if bits == 8:
+        return pl.pallas_call(
+            _kernel_w8,
+            grid=(O // block_o, Ip // block_i),
+            in_specs=[
+                pl.BlockSpec((1, B, block_i), lambda o, i: (0, 0, i)),
+                pl.BlockSpec((block_i, block_o), lambda o, i: (i, o)),
+                pl.BlockSpec((1, block_o), lambda o, i: (0, o)),
+            ],
+            **common,
+        )(x[None], codes, scales)[0]
+
+    assert bits == 4 and I == 2 * Ip, (bits, I, Ip)
+    nb = Ip // block_i
+    return pl.pallas_call(
+        _kernel_w4,
+        grid=(O // block_o, nb),
+        in_specs=[
+            pl.BlockSpec((1, B, block_i), lambda o, i: (0, 0, i)),  # x lo half
+            pl.BlockSpec((1, B, block_i), lambda o, i, _n=nb: (0, 0, i + _n)),  # x hi half
+            pl.BlockSpec((block_i, block_o), lambda o, i: (i, o)),
+            pl.BlockSpec((1, block_o), lambda o, i: (0, o)),
+        ],
+        **common,
+    )(x[None], x[None], codes, scales)[0]
+
+
+def quant_matmul_w8(x, codes, scales, **kw):
+    """Backwards-compatible int8 entry point."""
+    kw.pop("bits", None)
+    return quant_matmul(x, codes, scales, bits=8, **kw)

@@ -26,6 +26,13 @@ class OcrClient:
 
     @classmethod
     def from_pretrained(cls, model_dir: str, **kw) -> "OcrClient":
+        from crane_tpu.models.auto import load_hf_config
+
+        mt = load_hf_config(model_dir).get("model_type", "")
+        if mt.startswith("paddleocr"):
+            from crane_tpu.models.paddleocr_vl import load_paddleocr_vl
+
+            return cls(load_paddleocr_vl(model_dir), **kw)
         from crane_tpu.models.qwen3_vl import load_qwen3_vl
 
         return cls(load_qwen3_vl(model_dir), **kw)
@@ -46,6 +53,10 @@ class OcrClient:
         return self.vlm.tokenizer.encode(prompt), [(patches, grid)]
 
     def recognize(self, image, *, task: str = "ocr", prompt: Optional[str] = None) -> str:
+        if hasattr(self.vlm, "recognize"):  # PaddleOCR-VL native task API
+            return self.vlm.recognize(
+                image, task=task, prompt=prompt, max_new_tokens=self.max_new_tokens
+            )
         ids, images = self._prompt_ids(image, prompt or TASK_PROMPTS[task])
         st = CollectStreamer(self.vlm.tokenizer)
         self.vlm.generate(

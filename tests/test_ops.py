@@ -217,7 +217,10 @@ class TestLinearQuant:
     def test_int4(self):
         w = rng(64, 32)
         qw = quantize_weight(w, bits=4, block=32)
-        assert np.abs(np.asarray(qw.codes)).max() <= 7
+        # per-channel int4 is nibble-packed: half the rows, codes in range
+        # after unpacking
+        assert qw.codes.shape == (32, 32) and qw.shape == (64, 32)
+        assert np.abs(np.asarray(qw.unpacked_codes())).max() <= 7
         x = rng(3, 64, seed=1)
         got = np.asarray(linear(x, qw))
         expect = np.asarray(x) @ np.asarray(w)

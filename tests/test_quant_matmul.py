@@ -76,3 +76,40 @@ def test_w8a8_matmul_error_bounded(monkeypatch):
     out4 = np.asarray(linear(x, qw4), np.float32)
     ref4 = np.asarray(jnp.dot(x, qw4.dequant(jnp.bfloat16)), np.float32)
     np.testing.assert_allclose(out4, ref4, rtol=3e-2, atol=3e-2)
+
+
+def test_int4_kernel_matches_unpacked():
+    """Packed-int4 kernel == dequant matmul on the unpacked codes."""
+    from crane_tpu.ops.linear import pack_int4_rows, unpack_int4_rows
+    from crane_tpu.ops.pallas.quant_matmul import quant_matmul
+
+    r = np.random.default_rng(4)
+    I, O, B = 256, 256, 2
+    codes = jnp.asarray(r.integers(-7, 8, (I, O)), jnp.int8)
+    packed = pack_int4_rows(codes)
+    assert packed.shape == (I // 2, O)
+    np.testing.assert_array_equal(np.asarray(unpack_int4_rows(packed)), np.asarray(codes))
+
+    x = jnp.asarray(r.standard_normal((B, I)), jnp.float32)
+    scales = jnp.asarray(np.abs(r.standard_normal((1, O))) * 0.02, jnp.float32)
+    got = quant_matmul(x, packed, scales, bits=4, block_i=64, block_o=128, interpret=True)
+    ref = jnp.dot(
+        x.astype(jnp.bfloat16), codes.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ) * scales
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=5e-3, atol=5e-3)
+
+
+def test_packed_int4_linear_matches_dequant():
+    """linear() on a packed per-channel int4 weight (XLA fallback path on
+    CPU) == explicit dequant matmul."""
+    from crane_tpu.ops.linear import linear, quantize_weight
+
+    r = np.random.default_rng(5)
+    w = jnp.asarray(r.standard_normal((128, 64)) * 0.05, jnp.float32)
+    x = jnp.asarray(r.standard_normal((3, 128)), jnp.bfloat16)
+    qw = quantize_weight(w, bits=4, granularity="channel")
+    assert qw.packed
+    got = np.asarray(linear(x, qw), np.float32)
+    ref = np.asarray(jnp.dot(x, qw.dequant(jnp.bfloat16)), np.float32)
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
