@@ -1,29 +1,73 @@
-"""Benchmark: Qwen3-0.6B-architecture decode throughput on one TPU chip.
+"""Benchmarks on one TPU chip. Prints ONE JSON line per run:
+{"metric", "value", "unit", "vs_baseline"}.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Modes (``--mode``):
+  decode (default)  Qwen3-0.6B decode tok/s. Baseline: the reference's best
+                    published small-LLM number — Qwen2.5-0.5B at 35 tok/s
+                    (f16, Mac M1 Metal, /root/reference/README.md:477-479).
+  vl                Qwen3-VL-2B-architecture decode tok/s through the real
+                    MRoPE decode step. Baseline: 2x the reference's 35 tok/s
+                    Metal bar (BASELINE.json north star: ">=2x Crane's
+                    Apple-Metal tokens/sec on one v5e chip").
+  tts               Qwen3-TTS RTF (synthesis seconds per audio second):
+                    talker frame loop + CodePredictor + RVQGAN speech
+                    tokenizer decode at 0.6B-class shapes. Baseline 1.0 =
+                    real time (reference cites "faster than real time on
+                    CPU" for its TTS path, README.md:80). Lower is better;
+                    vs_baseline = 1/RTF (x real time).
+  asr               Qwen3-ASR xRT (audio seconds processed per wall second):
+                    AuT encoder (real 0.6B shapes: d_model 896 / 18 layers)
+                    + 0.6B decoder on 20 s of audio. Baseline 1.0 = real
+                    time (reference logs 72.3 tok/s decode for the same
+                    architecture, tests/BENCHMARK.md:28-70).
+  quant             Qwen3-0.6B decode with int8/int4 Pallas quantized
+                    matmuls vs the bf16 path. value = best quantized tok/s,
+                    vs_baseline = speedup over bf16 measured same-session.
+  longctx           Qwen3-0.6B decode tok/s with a 32K-token int4
+                    nibble-packed KV cache after a 16K prefill (the
+                    reference's long-context capability: int4 KV at 0.31x
+                    fp16 bytes, README.md:374-383).
 
-Baseline: the reference's best published small-LLM decode number —
-Qwen2.5-0.5B at 35 tok/s (f16, Mac M1 Metal, /root/reference/README.md:477-479;
-see BASELINE.md). Weights are randomly initialized at the real architecture
-shapes (decode throughput is weight-content-independent); bf16 compute, B=1,
-2048-slot KV cache, sampling in-graph — the full serving decode step.
-
-Timing is the MARGINAL rate between two decode-chain lengths with a final
-device->host sync (remote TPU runtimes can ack `block_until_ready` before
-execution completes; the marginal rate also subtracts fixed dispatch/RPC
-overhead). This understates burst throughput and is the honest sustained
-number.
+All weights are randomly initialized at the real architecture shapes
+(throughput is weight-content-independent). Timing is the MARGINAL rate
+between two chain lengths with a final device->host sync (remote TPU
+runtimes can ack `block_until_ready` before execution completes; the
+marginal rate also subtracts fixed dispatch/RPC overhead). This understates
+burst throughput and is the honest sustained number.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
-BASELINE_TOK_S = 35.0
+REF_METAL_TOK_S = 35.0  # reference README.md:477-479
 
 
-def main() -> None:
+def _emit(metric: str, value: float, unit: str, vs_baseline: float) -> None:
+    print(json.dumps({
+        "metric": metric, "value": round(value, 3), "unit": unit,
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+def _median_marginal_rate(run_chain, n_short=64, n_long=320, reps=3) -> float:
+    """tokens/sec from the marginal time between two decode-chain lengths."""
+    run_chain(4)  # warmup (compile both shapes)
+    rates = []
+    for _ in range(reps):
+        t1 = run_chain(n_short)
+        t2 = run_chain(n_long)
+        rates.append((n_long - n_short) / max(t2 - t1, 1e-9))
+    return sorted(rates)[reps // 2]
+
+
+# ── text decode (Qwen3-0.6B) ────────────────────────────────────────────────
+
+
+def _decode_rate(params_transform=None, *, kv_bits=None, max_seq=2048,
+                 prefill_len=64, n_short=64, n_long=320) -> float:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -35,18 +79,20 @@ def main() -> None:
 
     cfg = QWEN3_0_6B
     params = init_params(cfg, seed=0, dtype=jnp.bfloat16)
+    if params_transform is not None:
+        params = params_transform(params)
     lm = CausalLM(cfg, params, dtype=jnp.bfloat16)
 
-    prompt = np.random.default_rng(0).integers(0, cfg.vocab_size, 64).astype(np.int32)
-    padded = np.zeros((1, 64), np.int32)
-    padded[0] = prompt
+    prompt = np.random.default_rng(0).integers(
+        0, cfg.vocab_size, prefill_len).astype(np.int32)
+    padded = prompt[None]
     sp = SamplingParams.make(1, do_sample=False)
     key = jax.random.PRNGKey(0)
 
     def run_chain(n: int) -> float:
-        cache = lm.init_cache(1, 2048)
+        cache = lm.init_cache(1, max_seq, quant_bits=kv_bits)
         recent = jnp.full((1, 64), -1, jnp.int32)
-        logits, cache = lm.prefill(cache, padded, [64])
+        logits, cache = lm.prefill(cache, padded, [prefill_len])
         tok = jnp.argmax(logits, -1).astype(jnp.int32)
         tok, cache, recent = lm.decode_step(cache, tok, recent, sp, key)
         host_sync(tok)  # warm compile + true sync
@@ -57,24 +103,282 @@ def main() -> None:
         host_sync(cur)
         return time.perf_counter() - t0
 
-    run_chain(4)  # warmup
-    rates = []
-    for _ in range(3):
-        t1 = run_chain(64)
-        t2 = run_chain(320)
-        rates.append((320 - 64) / max(t2 - t1, 1e-9))
-    tok_s = sorted(rates)[1]  # median
+    return _median_marginal_rate(run_chain, n_short, n_long)
 
-    print(
-        json.dumps(
-            {
-                "metric": "qwen3_0.6b_decode_tok_s_per_chip",
-                "value": round(tok_s, 2),
-                "unit": "tokens/sec",
-                "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
-            }
-        )
+
+def bench_decode() -> None:
+    tok_s = _decode_rate()
+    _emit("qwen3_0.6b_decode_tok_s_per_chip", tok_s, "tokens/sec",
+          tok_s / REF_METAL_TOK_S)
+
+
+def bench_quant() -> None:
+    import functools
+
+    from crane_tpu.models.auto import quantize_params
+
+    bf16 = _decode_rate()
+    w8 = _decode_rate(functools.partial(quantize_params, bits=8))
+    w4 = _decode_rate(functools.partial(quantize_params, bits=4))
+    best = max(w8, w4)
+    print(json.dumps({
+        "metric": "qwen3_0.6b_quant_decode_tok_s_per_chip",
+        "value": round(best, 2), "unit": "tokens/sec",
+        "vs_baseline": round(best / bf16, 3),
+        "detail": {"bf16": round(bf16, 2), "w8": round(w8, 2),
+                   "w4": round(w4, 2)},
+    }))
+
+
+def bench_longctx() -> None:
+    """Decode rate deep into a 32K int4-KV context (16K prefilled)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from crane_tpu.models.causal_lm import CausalLM
+    from crane_tpu.models.init import QWEN3_0_6B, init_params
+    from crane_tpu.ops.sampling import SamplingParams
+    from crane_tpu.utils.timing import host_sync
+
+    cfg = QWEN3_0_6B
+    lm = CausalLM(cfg, init_params(cfg, seed=0, dtype=jnp.bfloat16),
+                  dtype=jnp.bfloat16)
+    S = 16384
+    prompt = np.random.default_rng(0).integers(0, cfg.vocab_size, S)[None]
+    sp = SamplingParams.make(1, do_sample=False)
+    key = jax.random.PRNGKey(0)
+
+    cache0 = lm.init_cache(1, 32768, quant_bits=4)
+    logits, cache0 = lm.prefill(cache0, prompt.astype(np.int32), [S])
+    tok0 = jnp.argmax(logits, -1).astype(jnp.int32)
+    host_sync(tok0)
+
+    def run_chain(n: int) -> float:
+        cache = jax.tree.map(lambda x: x, cache0)  # fresh copy (donation)
+        recent = jnp.full((1, 64), -1, jnp.int32)
+        tok, cache, recent = lm.decode_step(cache, tok0, recent, sp, key)
+        host_sync(tok)
+        t0 = time.perf_counter()
+        cur = tok
+        for _ in range(n):
+            cur, cache, recent = lm.decode_step(cache, cur, recent, sp, key)
+        host_sync(cur)
+        return time.perf_counter() - t0
+
+    tok_s = _median_marginal_rate(run_chain, 32, 160)
+    _emit("qwen3_0.6b_decode_tok_s_at_16k_int4kv", tok_s, "tokens/sec",
+          tok_s / REF_METAL_TOK_S)
+
+
+# ── Qwen3-VL-2B decode ──────────────────────────────────────────────────────
+
+
+def bench_vl() -> None:
+    """Decode tok/s at Qwen3-VL-2B text shapes through the MRoPE decode step
+    (the real serving path: 3-channel rope from a tracked mrope delta)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from crane_tpu.models.init import init_params
+    from crane_tpu.models.modules.transformer import (
+        TransformerConfig, make_cache, make_rope_tables,
     )
+    from crane_tpu.models.qwen3_vl import _vlm_decode_step, _vlm_prefill
+    from crane_tpu.ops.rope import mrope_cos_sin
+    from crane_tpu.utils.timing import host_sync
+
+    # Qwen3-VL-2B-Instruct text_config shapes (HF config.json)
+    cfg = TransformerConfig(
+        vocab_size=151936, hidden_size=2048, num_layers=28, num_heads=16,
+        num_kv_heads=8, head_dim=128, intermediate_size=6144,
+        rms_norm_eps=1e-6, rope_theta=5000000.0,
+        max_position_embeddings=262144, qk_norm=True,
+        tie_word_embeddings=True,
+    )
+    mrope_section = (24, 20, 20)
+    params = init_params(cfg, seed=0, dtype=jnp.bfloat16)
+    rope = make_rope_tables(cfg)
+
+    # prefill a 1024-token image-chat-sized prompt (random embeds; vision
+    # tower runs once per request and is not part of decode throughput)
+    S = 1024
+    embeds = (jax.random.normal(jax.random.PRNGKey(1), (1, S, cfg.hidden_size))
+              * 0.02).astype(jnp.bfloat16)
+    pos3 = jnp.broadcast_to(jnp.arange(S)[None, None, :], (3, 1, S))
+    cos, sin = mrope_cos_sin(pos3, cfg.rot_dim, mrope_section,
+                             theta=cfg.rope_theta)
+    dsk_mask = jnp.zeros((1, S), bool)
+    dsk = jnp.zeros((0, 0, cfg.hidden_size), jnp.bfloat16)
+    delta = jnp.asarray(0, jnp.int32)
+
+    def run_chain(n: int) -> float:
+        cache = make_cache(cfg, 1, 2048, jnp.bfloat16)
+        _, cache = _vlm_prefill(cfg, params, rope, cache, embeds, cos, sin,
+                                dsk_mask, dsk, jnp.asarray(S, jnp.int32))
+        tok = jnp.zeros((1,), jnp.int32)
+        tok, cache = _vlm_decode_step(cfg, mrope_section, params, rope,
+                                      cache, tok, delta)
+        host_sync(tok)
+        t0 = time.perf_counter()
+        cur = tok
+        for _ in range(n):
+            cur, cache = _vlm_decode_step(cfg, mrope_section, params, rope,
+                                          cache, cur, delta)
+        host_sync(cur)
+        return time.perf_counter() - t0
+
+    tok_s = _median_marginal_rate(run_chain, 32, 160)
+    _emit("qwen3_vl_2b_decode_tok_s_per_chip", tok_s, "tokens/sec",
+          tok_s / (2 * REF_METAL_TOK_S))
+
+
+# ── Qwen3-TTS RTF ───────────────────────────────────────────────────────────
+
+
+def _init_tts_model():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from crane_tpu.models.init import init_params
+    from crane_tpu.models.modules.transformer import TransformerConfig
+    from crane_tpu.models.qwen3_tts import Qwen3TTSModel, TalkerSpecials
+
+    rng = np.random.default_rng(0)
+
+    def r(*shape, scale=0.02):
+        return jnp.asarray(rng.normal(size=shape) * scale, jnp.bfloat16)
+
+    # 0.6B-class talker (reference modeling.rs defaults: text_hidden 2048,
+    # text_vocab 151936; talker backbone at Qwen3-0.6B shapes)
+    V_CODEC, N_GROUPS, TEXT_H, TEXT_V = 3072, 16, 2048, 151936
+    tcfg = TransformerConfig(
+        vocab_size=V_CODEC, hidden_size=1024, num_layers=28, num_heads=16,
+        num_kv_heads=8, head_dim=128, intermediate_size=3072,
+        rope_theta=1e6, qk_norm=True, tie_word_embeddings=True,
+    )
+    pcfg = TransformerConfig(
+        vocab_size=V_CODEC, hidden_size=1024, num_layers=6, num_heads=16,
+        num_kv_heads=8, head_dim=64, intermediate_size=3072,
+        rope_theta=1e6, qk_norm=True, tie_word_embeddings=True,
+    )
+    talker_tree = init_params(tcfg, seed=1, dtype=jnp.bfloat16)
+    pred_tree = init_params(pcfg, seed=2, dtype=jnp.bfloat16)
+    params = {
+        "talker": {
+            "tree": talker_tree,
+            "codec_head": r(tcfg.hidden_size, V_CODEC),
+            "text_embedding": r(TEXT_V, TEXT_H),
+            "text_fc1_w": r(TEXT_H, TEXT_H), "text_fc1_b": r(TEXT_H),
+            "text_fc2_w": r(TEXT_H, tcfg.hidden_size),
+            "text_fc2_b": r(tcfg.hidden_size),
+        },
+        "pred": {
+            "tree": pred_tree,
+            "codec_embedding0": talker_tree["embed"],
+            "codec_embeddings": r(N_GROUPS - 1, V_CODEC, tcfg.hidden_size),
+            "lm_heads": r(N_GROUPS - 1, pcfg.hidden_size, V_CODEC),
+        },
+    }
+    specials = TalkerSpecials(
+        vocab_size=V_CODEC, codec_eos=-1,  # -1: never sampled -> no early EOS
+        codec_think=V_CODEC - 10, codec_nothink=V_CODEC - 9,
+        codec_think_bos=V_CODEC - 8, codec_think_eos=V_CODEC - 7,
+        codec_pad=V_CODEC - 6, codec_bos=V_CODEC - 5,
+        language_ids={}, speaker_ids={}, spk_is_dialect={},
+    )
+    return Qwen3TTSModel(tcfg, pcfg, specials, params,
+                         num_code_groups=N_GROUPS, dtype=jnp.bfloat16)
+
+
+def bench_tts() -> None:
+    """Steady-state streaming RTF: talker frame blocks (device-side scan)
+    + code predictor + RVQGAN chunk decode with fixed shapes. 12.5 Hz
+    frames -> audio seconds = frames / 12.5."""
+    import numpy as np
+
+    from crane_tpu.models.speech_tokenizer import (
+        SpeechDecoderConfig, SpeechTokenizerDecoder, init_decoder_params,
+    )
+
+    model = _init_tts_model()
+    dcfg = SpeechDecoderConfig()  # real Qwen3-TTS 12.5 Hz tokenizer shapes
+    decoder = SpeechTokenizerDecoder(dcfg, init_decoder_params(dcfg, seed=3))
+
+    text_ids = list(np.random.default_rng(0).integers(100, 50000, 32))
+    frame_rate, block, ctx = 12.5, 25, 25
+
+    state = model.prepare_streaming(text_ids, "auto", None)
+
+    def stream_block() -> np.ndarray:
+        out = model.generate_frames(state, block)
+        assert out is not None and len(out) == block
+        codes = np.asarray(state.codes[-(block + ctx):], np.int32)[None]
+        pcm = decoder.decode_chunk(codes, min(ctx, codes.shape[1] - block))
+        return np.asarray(pcm)
+
+    stream_block()  # warm: first block (ctx=0 shape)
+    stream_block()  # warm: steady-state shape (ctx=25)
+    t0 = time.perf_counter()
+    n_blocks = 4
+    for _ in range(n_blocks):
+        stream_block()
+    wall = time.perf_counter() - t0
+    rtf = wall / (n_blocks * block / frame_rate)
+    _emit("qwen3_tts_rtf", rtf, "synth_sec/audio_sec", 1.0 / rtf)
+
+
+# ── Qwen3-ASR xRT ───────────────────────────────────────────────────────────
+
+
+def bench_asr() -> None:
+    import jax.numpy as jnp
+    import numpy as np
+
+    from crane_tpu.models.init import QWEN3_0_6B, init_params
+    from crane_tpu.models.qwen3_asr import (
+        AuTConfig, Qwen3AsrModel, init_aut_params,
+    )
+
+    acfg = AuTConfig()  # real Qwen3-ASR-0.6B tower shapes
+    tcfg = QWEN3_0_6B
+    params = init_params(tcfg, seed=0, dtype=jnp.bfloat16)
+    params["audio"] = init_aut_params(acfg, seed=1, dtype=jnp.bfloat16)
+    model = Qwen3AsrModel(tcfg, acfg, params, audio_token_id=151646,
+                          dtype=jnp.bfloat16)
+
+    audio_s = 20.0
+    wav = np.random.default_rng(0).normal(size=int(16000 * audio_s)).astype(
+        np.float32) * 0.1
+    n_tok = model.n_audio_tokens(len(wav))
+    # the reference's fixed ASR prompt layout (model.rs:25-37), ~n_tok+20 ids
+    ids = ([151644] * 10 + [151646] * n_tok + [151645] * 10)
+    n_out = 64  # ~typical transcript length for 20 s of speech
+
+    def run() -> float:
+        t0 = time.perf_counter()
+        out = model.generate(ids, wav, max_new_tokens=n_out)
+        assert len(out) == n_out, len(out)
+        return time.perf_counter() - t0
+
+    run()  # warm compile
+    run()
+    times = sorted(run() for _ in range(3))
+    xrt = audio_s / times[1]
+    _emit("qwen3_asr_xrt", xrt, "audio_sec/wall_sec", xrt)
+
+
+MODES = {
+    "decode": bench_decode, "vl": bench_vl, "tts": bench_tts,
+    "asr": bench_asr, "quant": bench_quant, "longctx": bench_longctx,
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=sorted(MODES), default="decode")
+    MODES[ap.parse_args().mode]()
 
 
 if __name__ == "__main__":

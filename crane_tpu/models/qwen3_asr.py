@@ -285,21 +285,33 @@ class Qwen3AsrModel:
             assert len(pos) == feats.shape[0], (len(pos), feats.shape)
             embeds = embeds.at[0, pos].set(feats.astype(self.dtype))
 
+        block = 16  # device-side steps per host EOS check
         s_bucket = bucket_length(S, floor=64)
         embeds = jnp.pad(embeds, ((0, 0), (0, s_bucket - S), (0, 0)))
-        cache = make_cache(cfg, 1, bucket_length(S + max_new_tokens, floor=256), self.dtype)
+        cache = make_cache(
+            cfg, 1,
+            bucket_length(S + max_new_tokens + block, floor=256), self.dtype,
+        )
         logits, cache = _asr_prefill(
             cfg, self.params, self.rope, cache, embeds, jnp.asarray(S, jnp.int32)
         )
         tok = int(jnp.argmax(logits, -1)[0])
-        out = []
+        out = [tok]
+        eos = set(self.eos_token_ids)
         cur = jnp.asarray([tok], jnp.int32)
-        for _ in range(max_new_tokens):
-            out.append(int(cur[0]))
-            if out[-1] in self.eos_token_ids:
-                break
-            cur, cache = _asr_decode_step(cfg, self.params, self.rope, cache, cur)
-        return out
+        while len(out) < max_new_tokens and out[-1] not in eos:
+            toks, cache = _asr_decode_block(
+                cfg, block, self.params, self.rope, cache, cur
+            )
+            toks_np = np.asarray(toks).tolist()
+            for t in toks_np:
+                out.append(t)
+                if t in eos:
+                    break
+            cur = toks[-1:]
+        if out and out[0] in eos:  # prefill emitted EOS immediately
+            return out[:1]
+        return out[:max_new_tokens]
 
     def build_prompt(self, n_audio_tokens: int, context: str = "") -> str:
         """The reference's fixed ASR prompt (model.rs:25-37); ``context``
@@ -352,6 +364,25 @@ def _asr_decode_step(cfg, params, rope, cache, token):
     )
     logits = lm_logits(cfg, params, hidden)[:, 0]
     return jnp.argmax(logits, -1).astype(jnp.int32), new_cache
+
+
+@_functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(4,))
+def _asr_decode_block(cfg, n_steps, params, rope, cache, token):
+    """``n_steps`` greedy decode steps in one dispatch (lax.scan); the host
+    checks for EOS once per block instead of once per token — a per-token
+    roundtrip otherwise dominates transcription wall time."""
+    from crane_tpu.models.modules.transformer import forward_hidden, lm_logits
+
+    def body(carry, _):
+        cache, tok = carry
+        hidden, cache = forward_hidden(
+            cfg, params, tok[:, None], cache, cache.lengths, rope
+        )
+        nxt = jnp.argmax(lm_logits(cfg, params, hidden)[:, 0], -1).astype(jnp.int32)
+        return (cache, nxt), nxt
+
+    (cache, tok), toks = jax.lax.scan(body, (cache, token), None, length=n_steps)
+    return toks[:, 0], cache
 
 
 def map_aut_weights(cfg: AuTConfig, a_sd: dict, dtype=jnp.float32) -> dict:
@@ -454,3 +485,40 @@ def load_qwen3_asr(model_dir: str, *, dtype=jnp.float32) -> Qwen3AsrModel:
         eos_token_ids=read_eos_ids(model_dir),
         dtype=dtype,
     )
+
+
+def init_aut_params(cfg: AuTConfig, seed: int = 0, dtype=jnp.bfloat16) -> dict:
+    """Random audio-tower params at ``cfg`` shapes (benchmarks / dry-runs).
+    Mirrors the pytree produced by :func:`map_aut_weights`."""
+    rng = np.random.default_rng(seed)
+
+    def r(*shape, scale=0.02):
+        return jnp.asarray(rng.normal(size=shape) * scale, dtype)
+
+    C, d, f = cfg.downsample_hidden_size, cfg.d_model, cfg.ffn_dim
+    ones = lambda n: jnp.ones((n,), dtype)
+    zeros = lambda n: jnp.zeros((n,), dtype)
+    layers = [
+        {
+            "wq": r(d, d), "bq": zeros(d), "wk": r(d, d), "bk": zeros(d),
+            "wv": r(d, d), "bv": zeros(d), "wo": r(d, d), "bo": zeros(d),
+            "attn_ln_w": ones(d), "attn_ln_b": zeros(d),
+            "ffn_ln_w": ones(d), "ffn_ln_b": zeros(d),
+            "fc1_w": r(d, f), "fc1_b": zeros(f),
+            "fc2_w": r(f, d), "fc2_b": zeros(d),
+        }
+        for _ in range(cfg.num_layers)
+    ]
+    return {
+        "conv1_w": r(C, 1, 3, 3), "conv1_b": zeros(C),
+        "conv2_w": r(C, C, 3, 3), "conv2_b": zeros(C),
+        "conv3_w": r(C, C, 3, 3), "conv3_b": zeros(C),
+        "conv_out": r(C * cfg.post_conv_mel_bins, d),
+        "pos_embed": jnp.asarray(
+            sinusoid_table(cfg.max_source_positions, d), dtype
+        ),
+        "layers": layers,
+        "ln_post_w": ones(d), "ln_post_b": zeros(d),
+        "proj1_w": r(d, d), "proj1_b": zeros(d),
+        "proj2_w": r(d, cfg.output_dim), "proj2_b": zeros(cfg.output_dim),
+    }

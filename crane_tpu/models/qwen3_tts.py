@@ -109,7 +109,7 @@ def _prefill_embeds(cfg, params, rope, cache, embeds, true_length):
     return last, new_cache
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(3,))
 def _step_embed(cfg, params, rope, cache, embed):
     hidden, new_cache = forward_hidden(
         cfg, params, jnp.zeros((1, 1), jnp.int32), cache, cache.lengths, rope,
@@ -129,7 +129,6 @@ def _sample_first_code(
     return sample(logits, sp, recent, key)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
 def _predict_rest_codes(pcfg, n_groups, p, talker_hidden, code0, key, sp):
     """CodePredictor: 2-token prefill [talker_hidden, embed(code0)], then
     n_groups-1 AR steps with per-group heads/embeddings (lax.scan)."""
@@ -168,6 +167,70 @@ def _predict_rest_codes(pcfg, n_groups, p, talker_hidden, code0, key, sp):
     return codes  # [n_groups - 1]
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(5,))
+def _advance_frame(tcfg, pcfg, n_groups, params, rope, cache, talker_hidden,
+                   code0, guidance, key, sp):
+    """One fused frame advance: CodePredictor rest-codes + summed codec
+    embedding + talker step. A single dispatch (the per-group host loop
+    costs ~10 ms RPC per lookup on a remote TPU runtime) with the KV cache
+    donated so each frame updates in place instead of reallocating it."""
+    p = params["pred"]
+    rest = _predict_rest_codes(pcfg, n_groups, p, talker_hidden, code0, key, sp)
+    emb = params["talker"]["tree"]["embed"][code0][:, None, :]
+    emb = emb + jnp.sum(
+        p["codec_embeddings"][jnp.arange(n_groups - 1), rest], axis=0
+    )[None, None, :]
+    emb = emb + guidance
+    hidden, new_cache = forward_hidden(
+        tcfg, params["talker"]["tree"], jnp.zeros((1, 1), jnp.int32), cache,
+        cache.lengths, rope, inputs_embeds=emb.astype(talker_hidden.dtype),
+    )
+    return rest, hidden, new_cache
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3), donate_argnums=(6,))
+def _gen_frame_block(tcfg, pcfg, n_groups, n_frames, params, rope, cache,
+                     hidden, recent, step, trailing_pad, key, sp,
+                     suppress, eos_suppress, eos_id):
+    """``n_frames`` full frames in ONE device dispatch (lax.scan over the
+    per-frame body). Emits ``[n_frames, n_groups]`` codes plus per-frame EOS
+    flags; the host truncates at the first flag — frames computed past EOS
+    are garbage and discarded, which keeps the scan body select-free (no
+    full-KV masking traffic). This is the TPU-shaped replacement for the
+    reference's host-driven generate_one_frame loop (modeling.rs:1575-1651):
+    at 12.5 Hz a per-frame host roundtrip alone eats most of the 80 ms frame
+    budget on a remote runtime."""
+    tree = params["talker"]["tree"]
+
+    def body(carry, _):
+        cache, hidden, recent, step, key = carry
+        key, k1, k2 = jax.random.split(key, 3)
+        logits = (hidden[:, 0] @ params["talker"]["codec_head"]).astype(jnp.float32)
+        logits = logits + suppress[None, :]
+        logits = jnp.where(step < 2, logits + eos_suppress[None, :], logits)
+        code0 = sample(logits, sp, recent, k1)
+        is_eos = code0[0] == eos_id
+        rest = _predict_rest_codes(pcfg, n_groups, params["pred"], hidden, code0, k2, sp)
+        emb = tree["embed"][code0][:, None, :]
+        emb = emb + jnp.sum(
+            params["pred"]["codec_embeddings"][jnp.arange(n_groups - 1), rest],
+            axis=0,
+        )[None, None, :]
+        emb = emb + jax.lax.dynamic_slice_in_dim(trailing_pad, step, 1, axis=1)
+        hidden, cache = forward_hidden(
+            tcfg, tree, jnp.zeros((1, 1), jnp.int32), cache, cache.lengths,
+            rope, inputs_embeds=emb.astype(hidden.dtype),
+        )
+        recent = update_recent(recent, code0)
+        frame = jnp.concatenate([code0, rest])
+        return (cache, hidden, recent, step + 1, key), (frame, is_eos)
+
+    (cache, hidden, recent, step, key), (frames, eos) = jax.lax.scan(
+        body, (cache, hidden, recent, step, key), None, length=n_frames
+    )
+    return frames, eos, cache, hidden, recent, step, key
+
+
 @dataclasses.dataclass
 class StreamingState:
     """prepare_streaming/generate_one_frame state (reference :1225-1248)."""
@@ -181,6 +244,10 @@ class StreamingState:
     key: jax.Array
     sp: SamplingParams
     codes: list
+    # trailing + tts_pad pre-concatenated to a bucketed length so the
+    # block-scan can dynamic-slice per-step guidance in-graph
+    trailing_pad: Optional[jax.Array] = None
+    finished: bool = False
 
 
 class Qwen3TTSModel:
@@ -318,6 +385,19 @@ class Qwen3TTSModel:
             repetition_penalty=getattr(opts, "repetition_penalty", 1.05) or 1.0,
             do_sample=True,
         )
+        n_total = bucket_length(
+            trailing.shape[1] + getattr(opts, "max_new_tokens", 2048) + 1,
+            floor=256,
+        )
+        trailing_pad = jnp.concatenate(
+            [
+                trailing,
+                jnp.broadcast_to(
+                    tts_pad, (1, n_total - trailing.shape[1], tts_pad.shape[2])
+                ),
+            ],
+            axis=1,
+        )
         return StreamingState(
             cache=cache,
             past_hidden=hidden,
@@ -328,6 +408,7 @@ class Qwen3TTSModel:
             key=jax.random.PRNGKey(getattr(opts, "seed", 42)),
             sp=sp,
             codes=[],
+            trailing_pad=trailing_pad,
         )
 
     def generate_one_frame(self, state: StreamingState) -> Optional[list[int]]:
@@ -343,29 +424,67 @@ class Qwen3TTSModel:
         c0 = int(code0[0])
         if c0 == s.codec_eos:
             return None
-        rest = _predict_rest_codes(
-            self.pcfg, self.num_code_groups, self.params["pred"],
-            state.past_hidden, code0, k2, state.sp,
-        )
-        frame = [c0] + [int(c) for c in np.asarray(rest)]
-
-        # next input: sum of all codec embeddings + trailing text guidance
-        emb = self.params["talker"]["tree"]["embed"][code0][:, None, :]
-        for g in range(self.num_code_groups - 1):
-            emb = emb + self.params["pred"]["codec_embeddings"][g][frame[g + 1]][None, None, :]
+        # trailing text guidance for this step (host knows the step index)
         if state.step < state.trailing.shape[1]:
-            emb = emb + state.trailing[:, state.step : state.step + 1]
+            guidance = jax.lax.dynamic_slice_in_dim(
+                state.trailing, state.step, 1, axis=1
+            )
         else:
-            emb = emb + state.tts_pad_embed
-        hidden, state.cache = _step_embed(
-            self.tcfg, self.params["talker"]["tree"], self.rope, state.cache,
-            emb.astype(self.dtype),
+            guidance = state.tts_pad_embed
+        rest, hidden, state.cache = _advance_frame(
+            self.tcfg, self.pcfg, self.num_code_groups, self.params,
+            self.rope, state.cache, state.past_hidden, code0, guidance, k2,
+            state.sp,
         )
+        frame = [c0] + np.asarray(rest).tolist()
         state.past_hidden = hidden
         state.recent0 = update_recent(state.recent0, code0)
         state.step += 1
         state.codes.append(frame)
         return frame
+
+    def generate_frames(
+        self, state: StreamingState, n_frames: int = 8
+    ) -> Optional[np.ndarray]:
+        """Up to ``n_frames`` frames in ONE device dispatch (block
+        streaming). Returns ``[k, num_code_groups]`` int32 with
+        ``k < n_frames`` iff EOS was hit inside the block, or ``None`` if
+        the very first frame was EOS / the state is finished."""
+        if state.finished:
+            return None
+        if state.trailing_pad is None:  # state built by an older prepare path
+            n_total = bucket_length(state.trailing.shape[1] + 2048 + 1, floor=256)
+            state.trailing_pad = jnp.concatenate(
+                [
+                    state.trailing,
+                    jnp.broadcast_to(
+                        state.tts_pad_embed,
+                        (1, n_total - state.trailing.shape[1],
+                         state.tts_pad_embed.shape[2]),
+                    ),
+                ],
+                axis=1,
+            )
+        frames, eos, state.cache, state.past_hidden, state.recent0, step, state.key = (
+            _gen_frame_block(
+                self.tcfg, self.pcfg, self.num_code_groups, n_frames,
+                self.params, self.rope, state.cache, state.past_hidden,
+                state.recent0, jnp.asarray(state.step, jnp.int32),
+                state.trailing_pad, state.key, state.sp, self._suppress,
+                self._eos_suppress,
+                jnp.asarray(self.sp_tokens.codec_eos, jnp.int32),
+            )
+        )
+        eos_np = np.asarray(eos)
+        k = int(np.argmax(eos_np)) if eos_np.any() else n_frames
+        state.step += k  # host view: frames actually kept
+        if k < n_frames:
+            state.finished = True  # device state ran past EOS; do not resume
+        if k == 0:
+            return None
+        out = np.asarray(frames[:k], np.int32)
+        state.codes.extend(out.tolist())
+        return out
 
     def generate_speech_codes(
         self,
@@ -373,15 +492,22 @@ class Qwen3TTSModel:
         language: str = "auto",
         speaker: Optional[str] = None,
         opts: SpeechOptions | None = None,
+        *,
+        block_frames: int = 16,
     ) -> np.ndarray:
-        """Batch loop over generate_one_frame (reference :1327-1490).
-        Returns ``[T, num_code_groups]`` int32."""
+        """Block loop over :meth:`generate_frames` (reference's per-frame
+        loop, :1327-1490, reshaped into device-side scans). Returns
+        ``[T, num_code_groups]`` int32."""
         opts = opts or SpeechOptions()
         state = self.prepare_streaming(text_ids, language, speaker, opts)
-        for _ in range(getattr(opts, "max_new_tokens", 2048)):
-            if self.generate_one_frame(state) is None:
+        budget = getattr(opts, "max_new_tokens", 2048)
+        while budget > 0:
+            out = self.generate_frames(state, block_frames)  # fixed block size
+            if out is None or state.finished:
                 break
-        return np.asarray(state.codes, np.int32).reshape(-1, self.num_code_groups)
+            budget -= len(out)
+        codes = np.asarray(state.codes, np.int32).reshape(-1, self.num_code_groups)
+        return codes[: getattr(opts, "max_new_tokens", 2048)]
 
     # ── voice clone (ICL) ────────────────────────────────────────────────
     def build_voice_clone_prefill(self, spk_embed: jax.Array, language: str):

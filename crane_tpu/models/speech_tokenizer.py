@@ -401,3 +401,86 @@ def load_speech_tokenizer(model_dir: str) -> SpeechTokenizerDecoder:
     )
     sd = load_state_dict(model_dir)
     return SpeechTokenizerDecoder(cfg, map_decoder_weights(cfg, sd))
+
+
+def random_decoder_state_dict(cfg: SpeechDecoderConfig, seed: int = 0) -> dict:
+    """Random state dict with the released checkpoint's key layout
+    (benchmarks / dry-runs / tests; real shapes, arbitrary values)."""
+    rng = np.random.default_rng(seed)
+
+    def r(*shape, scale=0.05):
+        return (rng.normal(size=shape) * scale).astype(np.float32)
+
+    sd, d = {}, "decoder."
+    half = cfg.codebook_dim // 2
+    for name, nq in (("rvq_first", 1), ("rvq_rest", cfg.num_quantizers - 1)):
+        for i in range(nq):
+            sd[f"{d}quantizer.{name}.vq.layers.{i}._codebook.embedding_sum"] = r(cfg.codebook_size, half)
+            sd[f"{d}quantizer.{name}.vq.layers.{i}._codebook.cluster_usage"] = np.ones(cfg.codebook_size, np.float32)
+        sd[f"{d}quantizer.{name}.output_proj.weight"] = r(cfg.codebook_dim, half, 1)
+    sd[d + "pre_conv.conv.weight"] = r(cfg.latent_dim, cfg.codebook_dim, 3)
+    sd[d + "pre_conv.conv.bias"] = r(cfg.latent_dim)
+    pt = d + "pre_transformer."
+    sd[pt + "input_proj.weight"] = r(cfg.hidden_size, cfg.latent_dim)
+    sd[pt + "input_proj.bias"] = r(cfg.hidden_size)
+    sd[pt + "output_proj.weight"] = r(cfg.latent_dim, cfg.hidden_size)
+    sd[pt + "output_proj.bias"] = r(cfg.latent_dim)
+    sd[pt + "norm.weight"] = np.ones(cfg.hidden_size, np.float32)
+    H, Hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    for i in range(cfg.num_hidden_layers):
+        L = f"{pt}layers.{i}."
+        sd[L + "self_attn.q_proj.weight"] = r(H * hd, cfg.hidden_size)
+        sd[L + "self_attn.k_proj.weight"] = r(Hkv * hd, cfg.hidden_size)
+        sd[L + "self_attn.v_proj.weight"] = r(Hkv * hd, cfg.hidden_size)
+        sd[L + "self_attn.o_proj.weight"] = r(cfg.hidden_size, H * hd)
+        sd[L + "input_layernorm.weight"] = np.ones(cfg.hidden_size, np.float32)
+        sd[L + "post_attention_layernorm.weight"] = np.ones(cfg.hidden_size, np.float32)
+        sd[L + "self_attn_layer_scale.scale"] = np.full(cfg.hidden_size, 0.01, np.float32)
+        sd[L + "mlp_layer_scale.scale"] = np.full(cfg.hidden_size, 0.01, np.float32)
+        sd[L + "mlp.gate_proj.weight"] = r(cfg.intermediate_size, cfg.hidden_size)
+        sd[L + "mlp.up_proj.weight"] = r(cfg.intermediate_size, cfg.hidden_size)
+        sd[L + "mlp.down_proj.weight"] = r(cfg.hidden_size, cfg.intermediate_size)
+    for i, ratio in enumerate(cfg.upsampling_ratios):
+        sd[f"{d}upsample.{i}.0.conv.weight"] = r(cfg.latent_dim, cfg.latent_dim, ratio)
+        sd[f"{d}upsample.{i}.0.conv.bias"] = r(cfg.latent_dim)
+        n = f"{d}upsample.{i}.1."
+        sd[n + "dwconv.conv.weight"] = r(cfg.latent_dim, 1, 7)
+        sd[n + "dwconv.conv.bias"] = r(cfg.latent_dim)
+        sd[n + "norm.weight"] = np.ones(cfg.latent_dim, np.float32)
+        sd[n + "norm.bias"] = np.zeros(cfg.latent_dim, np.float32)
+        sd[n + "pwconv1.weight"] = r(4 * cfg.latent_dim, cfg.latent_dim)
+        sd[n + "pwconv1.bias"] = r(4 * cfg.latent_dim)
+        sd[n + "pwconv2.weight"] = r(cfg.latent_dim, 4 * cfg.latent_dim)
+        sd[n + "pwconv2.bias"] = r(cfg.latent_dim)
+        sd[n + "gamma"] = np.full(cfg.latent_dim, 0.1, np.float32)
+    sd[d + "decoder.0.conv.weight"] = r(cfg.decoder_dim, cfg.latent_dim, 7)
+    sd[d + "decoder.0.conv.bias"] = r(cfg.decoder_dim)
+    for i, up in enumerate(cfg.upsample_rates):
+        n = f"{d}decoder.{i + 1}.block."
+        ind = cfg.decoder_dim >> i
+        outd = cfg.decoder_dim >> (i + 1)
+        sd[n + "0.alpha"] = r(ind)
+        sd[n + "0.beta"] = r(ind)
+        sd[n + "1.conv.weight"] = r(ind, outd, 2 * up)
+        sd[n + "1.conv.bias"] = r(outd)
+        for j in (2, 3, 4):
+            sd[n + f"{j}.act1.alpha"] = r(outd)
+            sd[n + f"{j}.act1.beta"] = r(outd)
+            sd[n + f"{j}.conv1.conv.weight"] = r(outd, outd, 7)
+            sd[n + f"{j}.conv1.conv.bias"] = r(outd)
+            sd[n + f"{j}.act2.alpha"] = r(outd)
+            sd[n + f"{j}.act2.beta"] = r(outd)
+            sd[n + f"{j}.conv2.conv.weight"] = r(outd, outd, 1)
+            sd[n + f"{j}.conv2.conv.bias"] = r(outd)
+    nb = len(cfg.upsample_rates)
+    outd = cfg.decoder_dim >> nb
+    sd[f"{d}decoder.{nb + 1}.alpha"] = r(outd)
+    sd[f"{d}decoder.{nb + 1}.beta"] = r(outd)
+    sd[f"{d}decoder.{nb + 2}.conv.weight"] = r(1, outd, 7)
+    sd[f"{d}decoder.{nb + 2}.conv.bias"] = r(1)
+    return sd
+
+
+def init_decoder_params(cfg: SpeechDecoderConfig, seed: int = 0) -> dict:
+    """Random decoder params at ``cfg`` shapes (benchmarks / dry-runs)."""
+    return map_decoder_weights(cfg, random_decoder_state_dict(cfg, seed))

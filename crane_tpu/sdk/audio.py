@@ -148,11 +148,17 @@ class Qwen3Tts:
         ids = m.tokenizer.encode(text)
         state = m.prepare_streaming(ids, options.language or "auto", options.voice, options)
         emitted = 0
-        for _ in range(options.max_new_tokens):
-            frame = m.generate_one_frame(state)
-            done = frame is None
+        remaining = options.max_new_tokens
+        while remaining > 0:
+            # one device dispatch per stream chunk (block scan), instead of
+            # one per frame — the roundtrip otherwise dominates the 80 ms
+            # frame budget
+            out = m.generate_frames(state, self.stream_frames)
+            done = out is None or state.finished
+            if out is not None:
+                remaining -= len(out)
             pending = len(state.codes) - emitted
-            if (pending >= self.stream_frames or done) and pending > 0:
+            if pending > 0:
                 ctx = min(self.left_context, emitted)
                 chunk = np.asarray(
                     state.codes[emitted - ctx : len(state.codes)], np.int32
