@@ -155,7 +155,7 @@ def bench_longctx() -> None:
     host_sync(tok0)
 
     def run_chain(n: int) -> float:
-        cache = jax.tree.map(lambda x: x, cache0)  # fresh copy (donation)
+        cache = jax.tree.map(jnp.copy, cache0)  # real copy: decode donates it
         recent = jnp.full((1, 64), -1, jnp.int32)
         tok, cache, recent = lm.decode_step(cache, tok0, recent, sp, key)
         host_sync(tok)

@@ -35,16 +35,24 @@ from crane_tpu.ops.sampling import SamplingParams, sample, update_recent
 from crane_tpu.utils.buckets import bucket_length
 
 
-@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(3,))
-def _prefill(cfg, params, rope, cache, tokens, start, true_lengths):
+@functools.partial(jax.jit, static_argnums=(0, 7), donate_argnums=(3,))
+def _prefill(cfg, params, rope, cache, tokens, start, true_lengths, fresh=False):
     """Prefill padded ``tokens [B, S_bucket]``; returns last-token logits.
 
     ``true_lengths [B]`` is the unpadded prompt length; cache lengths advance
     by it (pad-garbage KV slots beyond it get overwritten by later decode
     steps and are causally masked meanwhile).
+
+    ``fresh=True`` (start == 0, empty cache) attends over the in-context
+    K/V instead of the cache buffers — O(S^2) scores instead of
+    O(S * max_seq) (at 16K prefill into a 32K cache the cache-width read
+    is 2x the bytes, and for a quantized cache it would materialize a
+    full-width bf16 dequant), and it makes the Pallas flash kernel
+    eligible.
     """
     hidden, new_cache = forward_hidden(
-        cfg, params, tokens, cache, start, rope, true_lengths=true_lengths
+        cfg, params, tokens, cache, start, rope, true_lengths=true_lengths,
+        read_cache=not fresh,
     )
     new_cache = dataclasses.replace(new_cache, lengths=cache.lengths + true_lengths)
     b = jnp.arange(tokens.shape[0])
@@ -171,6 +179,7 @@ class CausalLM:
             jnp.asarray(token_ids, jnp.int32),
             jnp.asarray(start, jnp.int32),
             jnp.asarray(true_lengths, jnp.int32),
+            isinstance(start, int) and start == 0,  # fresh: in-context attention
         )
 
     def prefill_slot(self, cache, token_ids, slot: int, true_length: int):

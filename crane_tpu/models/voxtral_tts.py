@@ -605,6 +605,7 @@ class VoxtralTts:
         self.params = params
         self.voices = voices or {}
         self.max_seq = max_seq
+        self.tokenizer = None  # Tekkenizer, set by load_voxtral_tts
         self.llm_cfg = cfg.llm_config()
         self.rope = make_rope_tables(self.llm_cfg)
         self.offsets = codebook_offsets(cfg)
@@ -690,3 +691,143 @@ class VoxtralTts:
         codes = jnp.asarray(np.stack(frames))[None]  # [1, n_frames, 37]
         wav = self._codec_decode(self.params["codec"], codes)
         return np.asarray(wav[0], np.float32), self.cfg.sample_rate
+
+    def generate_speech(self, text: str, *, voice: str | None = None,
+                        max_frames: int = 250, seed: int = 0):
+        """Text -> (waveform, sample_rate) via the attached Tekken tokenizer
+        (text is encoded WITHOUT BOS/EOS — build_prompt_segments adds the
+        prompt specials, reference model.rs:228-244)."""
+        if self.tokenizer is None:
+            raise ValueError("no tokenizer attached (load via load_voxtral_tts)")
+        return self.generate(self.tokenizer.encode(text), voice=voice,
+                             max_frames=max_frames, seed=seed)
+
+
+# ── checkpoint loading ───────────────────────────────────────────────────────
+
+
+def config_from_params_json(raw: dict) -> VoxtralConfig:
+    """Parse the released checkpoint's ``params.json`` (reference
+    model.rs:45-185: top-level dims + ``multimodal.audio_model_args`` +
+    ``multimodal.audio_tokenizer_args`` with comma-separated stage lists)."""
+    mm = raw.get("multimodal", {})
+    am = mm.get("audio_model_args", {})
+    at = mm.get("audio_tokenizer_args", {})
+    ac = am.get("acoustic_transformer_args", {})
+
+    def csv(v, default):
+        if v is None:
+            return tuple(default)
+        if isinstance(v, str):
+            return tuple(int(x) for x in v.split(","))
+        return tuple(int(x) for x in v)
+
+    d = AcousticArgs()
+    acoustic = AcousticArgs(
+        dim=ac.get("dim", d.dim), n_layers=ac.get("n_layers", d.n_layers),
+        n_heads=ac.get("n_heads", d.n_heads),
+        n_kv_heads=ac.get("n_kv_heads", d.n_kv_heads),
+        head_dim=ac.get("head_dim", d.head_dim),
+        hidden_dim=ac.get("hidden_dim", d.hidden_dim),
+    )
+    c = CodecArgs()
+    codec = CodecArgs(
+        dim=at.get("dim", c.dim), hidden_dim=at.get("hidden_dim", c.hidden_dim),
+        n_heads=at.get("n_heads", c.n_heads),
+        n_kv_heads=at.get("n_kv_heads", c.n_kv_heads),
+        head_dim=at.get("head_dim", c.head_dim),
+        qk_norm_eps=at.get("qk_norm_eps", c.qk_norm_eps),
+        norm_eps=at.get("norm_eps", c.norm_eps),
+        semantic_dim=at.get("semantic_dim", c.semantic_dim),
+        patch_size=at.get("pretransform_patch_size", c.patch_size),
+        transformer_lengths=csv(
+            at.get("decoder_transformer_lengths_str"), c.transformer_lengths
+        ),
+        conv_kernels=csv(at.get("decoder_convs_kernels_str"), c.conv_kernels),
+        conv_strides=csv(at.get("decoder_convs_strides_str"), c.conv_strides),
+    )
+    v = VoxtralConfig()
+    return VoxtralConfig(
+        dim=raw.get("dim", v.dim), n_layers=raw.get("n_layers", v.n_layers),
+        n_heads=raw.get("n_heads", v.n_heads),
+        n_kv_heads=raw.get("n_kv_heads", v.n_kv_heads),
+        head_dim=raw.get("head_dim", v.head_dim),
+        hidden_dim=raw.get("hidden_dim", v.hidden_dim),
+        vocab_size=raw.get("vocab_size", v.vocab_size),
+        rope_theta=raw.get("rope_theta", v.rope_theta),
+        norm_eps=raw.get("norm_eps", v.norm_eps),
+        max_seq_len=min(raw.get("max_seq_len", v.max_seq_len), 65536),
+        semantic_codebook_size=am.get(
+            "semantic_codebook_size", v.semantic_codebook_size
+        ),
+        n_acoustic=am.get("n_acoustic_codebook", v.n_acoustic),
+        fsq_levels=am.get("acoustic_codebook_size", v.fsq_levels),
+        sample_rate=at.get("sampling_rate", v.sample_rate),
+        acoustic=acoustic, codec=codec,
+    )
+
+
+def load_voice_embedding(path: str) -> np.ndarray:
+    """Pre-computed voice embedding ``.pt`` -> ``[N, dim]`` f32. The file is
+    a torch ZIP whose single entry is a raw bf16 ``[N, 3072]`` tensor
+    (reference model.rs:249-312 reads the raw buffer the same way; we also
+    accept a plain ``.npy``)."""
+    if path.endswith(".npy"):
+        return np.load(path)
+    import zipfile
+
+    with zipfile.ZipFile(path) as z:
+        names = z.namelist()
+        entry = next(
+            (n for n in ("voice_embed/data/0", "archive/data/0", "data/0")
+             if n in names),
+            None,
+        )
+        if entry is None:  # any */data/N tensor payload
+            cands = [n for n in names if "/data/" in n and not n.endswith("/")]
+            if not cands:
+                raise ValueError(f"no tensor data entry in {path}: {names}")
+            entry = cands[0]
+        raw = z.read(entry)
+    dim = 3072  # codec-encoder output width (reference model.rs:249-252)
+    if len(raw) % (dim * 2):
+        raise ValueError(f"{path}: {len(raw)} bytes is not [N, {dim}] bf16")
+    u16 = np.frombuffer(raw, np.uint16).reshape(-1, dim)
+    return (u16.astype(np.uint32) << 16).view(np.float32)
+
+
+def load_voxtral_tts(model_dir: str, *, dtype=jnp.bfloat16):
+    """Load a released Voxtral TTS checkpoint directory (reference
+    model.rs:353-417): ``params.json`` + ``tekken.json`` +
+    ``consolidated.safetensors`` + ``voice_embedding/*.pt``. Returns
+    ``(VoxtralTts, Tekkenizer | None)``; the model also keeps the tokenizer
+    at ``.tokenizer``."""
+    import glob
+    import json
+    import os
+
+    from crane_tpu.loaders.safetensors_loader import load_state_dict
+
+    cfg_path = os.path.join(model_dir, "params.json")
+    cfg = VoxtralConfig()
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            cfg = config_from_params_json(json.load(f))
+    params = map_voxtral_weights(cfg, load_state_dict(model_dir), dtype)
+
+    voices = {}
+    for pat in ("voice_embedding/*.pt", "voice_embedding/*.npy", "voices/*.npy"):
+        for p in glob.glob(os.path.join(model_dir, pat)):
+            name = os.path.splitext(os.path.basename(p))[0]
+            voices.setdefault(name, load_voice_embedding(p))
+
+    tok = None
+    tekken_path = os.path.join(model_dir, "tekken.json")
+    if os.path.exists(tekken_path):
+        from crane_tpu.tokenizer.tekken import Tekkenizer
+
+        tok = Tekkenizer.from_file(tekken_path)
+
+    model = VoxtralTts(cfg, params, voices=voices, max_seq=1024)
+    model.tokenizer = tok
+    return model, tok
