@@ -436,14 +436,34 @@ class Gemma3nLM:
         logits, _ = self._prefill(self.params, jnp.asarray(ids, jnp.int32), self.new_cache())
         return np.asarray(logits)
 
-    def generate_greedy(self, ids: np.ndarray, max_new_tokens: int) -> list[int]:
+    def generate_greedy(
+        self,
+        ids: np.ndarray,
+        max_new_tokens: int,
+        *,
+        eos: tuple = (),
+        streamer=None,
+    ) -> list[int]:
         ids = np.asarray(ids, np.int32)
         assert ids.ndim == 2 and ids.shape[0] == 1
         logits, cache = self._prefill(self.params, jnp.asarray(ids), self.new_cache())
         pos = ids.shape[1]
+        eos = set(eos)
+
+        def emit(t) -> bool:  # stream non-eos tokens; False stops generation
+            if streamer is None or t in eos:
+                return True
+            return streamer.append(t) is not False
+
         tok = int(np.argmax(np.asarray(logits)[0, -1]))
         out = [tok]
-        for _ in range(max_new_tokens - 1):
+        keep_going = emit(tok)
+        while (
+            keep_going
+            and len(out) < max_new_tokens
+            and tok not in eos
+            and pos < self.max_seq - 1
+        ):
             logits, cache = self._decode_step(
                 self.params, jnp.asarray([[tok]], jnp.int32), cache,
                 jnp.asarray([pos], jnp.int32),
@@ -451,6 +471,10 @@ class Gemma3nLM:
             pos += 1
             tok = int(np.argmax(np.asarray(logits)[0]))
             out.append(tok)
+            if not emit(tok):
+                break
+        if streamer is not None:
+            streamer.finalize()
         return out
 
 

@@ -388,8 +388,6 @@ def attention_block(
     use_flash = (
         not read_cache  # fresh prefill: positions 0..S-1, S == T
         and extra_mask is None
-        and window is None
-        and cfg.attn_logit_softcap is None
         and S >= 256
         and D % 128 == 0
         and jax.default_backend() == "tpu"
@@ -398,7 +396,10 @@ def attention_block(
     if use_flash:
         from crane_tpu.ops.pallas.flash_attention import flash_attention_causal
 
-        out = flash_attention_causal(q, kc, vc, scale=scale)
+        out = flash_attention_causal(
+            q, kc, vc, scale=scale, window=window,
+            softcap=cfg.attn_logit_softcap,
+        )
     else:
         out = gqa_attention(
             q, kc, vc, positions,

@@ -45,18 +45,29 @@ def _sampling_from_payload(p: dict, prefix_defaults=True) -> SamplingOptions:
 class Server:
     def __init__(
         self,
-        engine: InferenceEngine,
+        engine: InferenceEngine | None,
         *,
         model_name: str = "crane-tpu",
         eos_token_ids: tuple[int, ...] = (),
         tts=None,
         asr=None,
         vlm=None,
+        text_backend=None,
     ):
+        """``engine`` serves CausalLM with continuous batching; models with
+        bespoke forwards (Gemma3n) pass ``text_backend`` instead (the
+        reference serves every model via ModelBackend + concurrency cap,
+        backend.rs:220-223) — chat/completions then route through it."""
+        assert engine is not None or text_backend is not None
         self.engine = engine
+        self.text_backend = text_backend
         self.model_name = model_name
-        self.eos_token_ids = tuple(eos_token_ids) or tuple(engine.lm.eos_token_ids)
-        self.tokenizer = engine.lm.tokenizer
+        if engine is not None:
+            self.eos_token_ids = tuple(eos_token_ids) or tuple(engine.lm.eos_token_ids)
+            self.tokenizer = engine.lm.tokenizer
+        else:
+            self.eos_token_ids = tuple(eos_token_ids) or tuple(text_backend.eos_token_ids)
+            self.tokenizer = text_backend.tokenizer
         self.created = int(time.time())
         # multimodal backends run outside the engine with their own serialized
         # executors — the reference's dedicated-thread-per-modality design
@@ -99,6 +110,11 @@ class Server:
 
     async def health_generate(self, request):
         """Deep health check: run one tiny generation through the engine."""
+        if self.engine is None:
+            return web.json_response(
+                {"error": {"message": "endpoint requires the slot engine"}},
+                status=400,
+            )
         req = EngineRequest(
             request_id=f"health-{uuid.uuid4().hex[:8]}",
             prompt_ids=[1], max_new_tokens=1,
@@ -111,6 +127,11 @@ class Server:
         return web.json_response({"status": "ok"})
 
     async def stats(self, request):
+        if self.engine is None:
+            return web.json_response(
+                {"error": {"message": "endpoint requires the slot engine"}},
+                status=400,
+            )
         return web.json_response(
             self.engine.stats.snapshot(
                 running=len(self.engine.scheduler.running),
@@ -163,6 +184,11 @@ class Server:
         )
 
     async def server_info(self, request):
+        if self.engine is None:
+            return web.json_response(
+                {"error": {"message": "endpoint requires the slot engine"}},
+                status=400,
+            )
         snap = self.engine.stats.snapshot(
             running=len(self.engine.scheduler.running),
             waiting=len(self.engine.scheduler.waiting),
@@ -177,11 +203,21 @@ class Server:
         )
 
     async def flush_cache(self, request):
+        if self.engine is None:
+            return web.json_response(
+                {"error": {"message": "endpoint requires the slot engine"}},
+                status=400,
+            )
         # static slots: nothing to free while sequences are running; idle
         # slots hold no reachable state. Parity endpoint.
         return web.json_response({"status": "ok", "message": "cache flushed"})
 
     async def abort_request(self, request):
+        if self.engine is None:
+            return web.json_response(
+                {"error": {"message": "endpoint requires the slot engine"}},
+                status=400,
+            )
         p = await request.json()
         rid = p.get("rid") or p.get("request_id")
         if not rid:
@@ -191,6 +227,11 @@ class Server:
 
     async def generate(self, request):
         """SGLang /generate: {text | input_ids, sampling_params, stream}."""
+        if self.engine is None:
+            return web.json_response(
+                {"error": {"message": "endpoint requires the slot engine"}},
+                status=400,
+            )
         p = await request.json()
         sp = p.get("sampling_params") or {}
         if "input_ids" in p:
@@ -365,7 +406,7 @@ class Server:
             return Image.open(io.BytesIO(base64.b64decode(b64)))
         raise ValueError("only data: image URLs are supported (zero-egress server)")
 
-    def _vlm_generate_sync(self, messages, max_tokens):
+    def _vlm_generate_sync(self, messages, max_tokens, streamer=None):
         """Render a ChatML prompt by hand with N image pads per image
         (reference vlm.rs:311-344), splice, and greedy-decode."""
         from crane_tpu.models.image_processing import preprocess_image
@@ -406,20 +447,36 @@ class Server:
         from crane_tpu.generation.config import GenerationConfig
         from crane_tpu.generation.streamer import CollectStreamer
 
-        st = CollectStreamer(self.vlm.tokenizer)
+        st = streamer or CollectStreamer(self.vlm.tokenizer)
         gen = GenerationConfig.greedy(
             max_tokens, eos_token_ids=tuple(self.vlm.eos_token_ids)
         )
         n = len(self.vlm.generate(ids, images=images, gen=gen, streamer=st))
-        return st.text, len(ids), n
+        text = st.text if streamer is None else ""
+        return text, len(ids), n
 
-    async def _vlm_chat(self, payload):
+    async def _vlm_chat(self, request, payload):
         loop = asyncio.get_running_loop()
+        max_tokens = int(payload.get("max_tokens") or 512)
+        if payload.get("stream"):
+            from crane_tpu.serve.backend import LoopStreamer
+
+            st = LoopStreamer(self.vlm.tokenizer, loop)
+
+            def run():
+                try:
+                    self._vlm_generate_sync(payload["messages"], max_tokens, st)
+                except BaseException as e:
+                    st.fail(e)
+
+            self._vlm_pool.submit(run)
+            return await self._sse_from_streamer(
+                request, f"req-{uuid.uuid4().hex[:16]}", st
+            )
         try:
             text, n_prompt, n_gen = await loop.run_in_executor(
                 self._vlm_pool, self._vlm_generate_sync,
-                payload["messages"],
-                int(payload.get("max_tokens") or 512),
+                payload["messages"], max_tokens,
             )
         except Exception as e:
             return web.json_response({"error": {"message": str(e)}}, status=400)
@@ -447,19 +504,80 @@ class Server:
     async def chat_completions(self, request):
         payload = await request.json()
         if self.vlm is not None and self._has_image_parts(payload.get("messages", [])):
-            return await self._vlm_chat(payload)
+            return await self._vlm_chat(request, payload)
         try:
             prompt = self._render_chat(payload)
         except Exception as e:  # template errors -> 400
             return web.json_response({"error": {"message": str(e)}}, status=400)
         ids = self.tokenizer.encode(prompt)
+        if self.engine is None:
+            return await self._backend_chat(request, payload, ids)
         req = self._make_request(ids, payload)
         q = self.engine.submit(req)
         if payload.get("stream"):
             return await self._sse_chat(request, req, q, payload)
         return await self._collect_chat(req, q)
 
+    async def _backend_chat(self, request, payload, ids):
+        """chat via the capped TextBackend (non-engine models)."""
+        max_tokens = int(
+            payload.get("max_tokens") or payload.get("max_completion_tokens")
+            or payload.get("max_new_tokens") or 512
+        )
+        rid = f"req-{uuid.uuid4().hex[:16]}"
+        if payload.get("stream"):
+            st = self.text_backend.generate_stream(ids, max_tokens)
+            return await self._sse_from_streamer(request, rid, st)
+        text, n_gen = await self.text_backend.generate(ids, max_tokens)
+        return web.json_response({
+            "id": rid, "object": "chat.completion", "created": int(time.time()),
+            "model": self.model_name,
+            "choices": [{
+                "index": 0,
+                "message": {"role": "assistant", "content": text},
+                "finish_reason": "stop",
+            }],
+            "usage": {
+                "prompt_tokens": len(ids), "completion_tokens": n_gen,
+                "total_tokens": len(ids) + n_gen,
+            },
+        })
+
+    async def _sse_from_streamer(self, request, rid, st):
+        """SSE chat deltas from a LoopStreamer (backend / VLM paths)."""
+        resp = web.StreamResponse(
+            headers={"Content-Type": "text/event-stream", "Cache-Control": "no-cache"}
+        )
+        await resp.prepare(request)
+        base = {
+            "id": rid, "object": "chat.completion.chunk",
+            "created": int(time.time()), "model": self.model_name,
+        }
+
+        def chunk(delta: dict, finish=None) -> bytes:
+            c = dict(base, choices=[{"index": 0, "delta": delta, "finish_reason": finish}])
+            return b"data: " + json.dumps(c).encode() + b"\n\n"
+
+        await resp.write(chunk({"role": "assistant", "content": ""}))
+        while True:
+            item = await st.queue.get()
+            if item is None:
+                break
+            if isinstance(item, tuple):  # forwarded generation error
+                await resp.write(chunk({"content": f"\n[error: {item[0]}]"}))
+                break
+            await resp.write(chunk({"content": item}))
+        await resp.write(chunk({}, finish="stop"))
+        await resp.write(b"data: [DONE]\n\n")
+        await resp.write_eof()
+        return resp
+
     async def completions(self, request):
+        if self.engine is None:
+            return web.json_response(
+                {"error": {"message": "endpoint requires the slot engine"}},
+                status=400,
+            )
         payload = await request.json()
         prompt = payload.get("prompt", "")
         if isinstance(prompt, list):
@@ -630,19 +748,39 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     quant_bits = {"q8": 8, "q4": 4}.get(args.quant)
+    engine = backend = None
     if args.model_path.endswith(".gguf"):
         from crane_tpu.loaders.gguf_model import from_gguf
 
         lm = from_gguf(args.model_path, dtype=dtype)
     else:
-        lm = from_pretrained(args.model_path, dtype=dtype, quant_bits=quant_bits)
-    engine = InferenceEngine(
-        lm,
-        max_slots=args.max_concurrent,
-        max_seq_len=args.max_seq_len,
-        decode_tokens_per_seq=args.decode_tokens_per_seq,
-        kv_quant_bits={"int8": 8, "int4": 4}.get(args.kv_quant),
-    )
+        from crane_tpu.models.factory import detect_model_type
+
+        if detect_model_type(args.model_path) in ("gemma3n", "gemma3n_text"):
+            # bespoke forward (AltUp/PLE/KV-sharing): served via the capped
+            # TextBackend instead of the slot engine (backend.rs:220-223)
+            from crane_tpu.models.auto import read_eos_ids
+            from crane_tpu.models.gemma3n import from_pretrained as g3n
+            from crane_tpu.serve.backend import TextBackend
+            from crane_tpu.tokenizer.autotokenizer import AutoTokenizer
+
+            model = g3n(args.model_path, dtype=dtype, max_seq=args.max_seq_len)
+            backend = TextBackend(
+                model, AutoTokenizer.from_pretrained(args.model_path),
+                eos_token_ids=read_eos_ids(args.model_path),
+                name="gemma3n",
+            )
+            lm = None
+        else:
+            lm = from_pretrained(args.model_path, dtype=dtype, quant_bits=quant_bits)
+    if lm is not None:
+        engine = InferenceEngine(
+            lm,
+            max_slots=args.max_concurrent,
+            max_seq_len=args.max_seq_len,
+            decode_tokens_per_seq=args.decode_tokens_per_seq,
+            kv_quant_bits={"int8": 8, "int4": 4}.get(args.kv_quant),
+        )
     tts = asr = vlm = None
     if args.vlm_path:
         from crane_tpu.models.qwen3_vl import load_qwen3_vl
@@ -680,7 +818,8 @@ def main(argv=None):
             asr = MoonshineAsr(load_moonshine(args.asr_path, dtype=dtype))
 
     log.info("warming up (compiling prefill/decode programs)...")
-    engine.warmup()
+    if engine is not None:
+        engine.warmup()
     # compile auxiliary modalities before serving so the first real request
     # doesn't pay jit latency (reference warmup semantics; failures non-fatal,
     # qwen3_5/model.rs:807-814)
@@ -701,9 +840,11 @@ def main(argv=None):
             log.info("%s warmup done in %.1fs", name, time.time() - t0)
         except Exception as e:
             log.warning("%s warmup failed (non-fatal): %s", name, e)
-    engine.start()
+    if engine is not None:
+        engine.start()
     name = args.model_name or args.model_path.rstrip("/").split("/")[-1]
-    server = Server(engine, model_name=name, tts=tts, asr=asr, vlm=vlm)
+    server = Server(engine, model_name=name, tts=tts, asr=asr, vlm=vlm,
+                    text_backend=backend)
     app = build_app(server)
     web.run_app(app, host=args.host, port=args.port)
 

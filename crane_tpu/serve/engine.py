@@ -49,6 +49,65 @@ log = logging.getLogger("crane_tpu.engine")
 RECENT_WINDOW = 64  # repetition-penalty window (reference repeat_last_n default)
 
 
+def _tree_bytes(tree) -> int:
+    return sum(
+        x.size * x.dtype.itemsize
+        for x in jax.tree.leaves(tree)
+        if hasattr(x, "size")
+    )
+
+
+def _check_hbm_budget(lm, max_slots: int, max_seq_len: int, kv_quant_bits):
+    """Fail fast at startup if weights + the fully-committed KV slots can't
+    fit device memory (the reference's memory governor exists because
+    misconfiguration is the common case, engine/mod.rs:199-214; with static
+    slots the whole budget is known before the first request, so the check
+    is one inequality instead of runtime preemption).
+
+    Headroom of 15% covers activations, compiled-program buffers, and the
+    donation double-buffering XLA needs during cache updates. Override the
+    limit with CRANE_HBM_BYTES (useful on CPU where memory_stats() is
+    absent — then the check is skipped unless the env var is set).
+    """
+    import os
+
+    limit = None
+    env = os.environ.get("CRANE_HBM_BYTES")
+    if env:
+        limit = int(env)
+    else:
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+            limit = stats.get("bytes_limit")
+        except Exception:  # backends without memory_stats
+            limit = None
+    if not limit:
+        return
+
+    weights = _tree_bytes(lm.params)
+    cfg = lm.config
+    kv_elem_bytes = {8: 1, 4: 0.5}.get(kv_quant_bits, 2)
+    full_layers = getattr(cfg, "num_layers", 0)
+    per_tok = full_layers * cfg.num_kv_heads * cfg.head_dim * 2
+    kv = int(max_slots * max_seq_len * per_tok * kv_elem_bytes)
+    if kv_quant_bits:  # f32 per-(token, head) scales, k and v
+        kv += max_slots * max_seq_len * full_layers * cfg.num_kv_heads * 2 * 4
+    need = int((weights + kv) * 1.15)
+    if need > limit:
+        gib = 1024 ** 3
+        raise RuntimeError(
+            f"HBM budget exceeded: weights {weights / gib:.2f} GiB + KV "
+            f"{kv / gib:.2f} GiB ({max_slots} slots x {max_seq_len} tokens x "
+            f"{full_layers} layers, {kv_quant_bits or 16}-bit) x 1.15 headroom "
+            f"= {need / gib:.2f} GiB > device limit {limit / gib:.2f} GiB. "
+            f"Reduce --max-slots/--max-seq-len or use --kv-quant int8/int4."
+        )
+    log.info(
+        "HBM budget: weights %.2f GiB + KV %.2f GiB (x1.15) fits %.2f GiB",
+        weights / 1024 ** 3, kv / 1024 ** 3, limit / 1024 ** 3,
+    )
+
+
 class InferenceEngine:
     def __init__(
         self,
@@ -64,6 +123,7 @@ class InferenceEngine:
         self.max_seq_len = max_seq_len
         self.decode_tokens_per_seq = decode_tokens_per_seq
 
+        _check_hbm_budget(lm, max_slots, max_seq_len, kv_quant_bits)
         self.cache = lm.init_cache(max_slots, max_seq_len, quant_bits=kv_quant_bits)
         self.recent = jnp.full((max_slots, RECENT_WINDOW), -1, jnp.int32)
         self.sp = SamplingParams.make(max_slots)

@@ -17,4 +17,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# CRANE_TPU_TESTS=1 keeps the real TPU attached so tests/test_tpu_kernels.py
+# can gate Mosaic-compiled Pallas kernels against XLA on the chip; everything
+# else runs on the virtual 8-device CPU platform.
+if os.environ.get("CRANE_TPU_TESTS") != "1":
+    jax.config.update("jax_platforms", "cpu")

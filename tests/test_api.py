@@ -262,3 +262,99 @@ def test_audio_speech_stream_endpoint(tmp_path_factory):
         assert asyncio.run(go())
     finally:
         engine.stop()
+
+
+# ── TextBackend path (non-engine models: Gemma3n, reference backend.rs) ────
+
+
+class _EchoModel:
+    """generate_greedy stub: emits a fixed token sequence, honors eos and
+    streamer (the HTTP plumbing under test; Gemma3nLM's real generate_greedy
+    has the same contract and is covered by test_gemma3n.py)."""
+
+    def __init__(self, toks):
+        self.toks = toks
+
+    def generate_greedy(self, ids, max_new_tokens, *, eos=(), streamer=None):
+        out = []
+        for t in self.toks[:max_new_tokens]:
+            out.append(t)
+            if t in eos:
+                break
+            if streamer is not None and streamer.append(t) is False:
+                break
+        if streamer is not None:
+            streamer.finalize()
+        return out
+
+
+@pytest.fixture(scope="module")
+def backend_served(tmp_path_factory):
+    from crane_tpu.serve.api import Server, build_app
+    from crane_tpu.serve.backend import TextBackend
+    from crane_tpu.tokenizer.autotokenizer import AutoTokenizer
+
+    d = make_tiny_qwen3_checkpoint(str(tmp_path_factory.mktemp("bk") / "m"))
+    tok = AutoTokenizer.from_pretrained(d)
+    toks = tok.encode("hello world again")
+    backend = TextBackend(_EchoModel(toks), tok, eos_token_ids=(), name="echo")
+    server = Server(None, model_name="tiny-backend", text_backend=backend)
+    yield lambda: build_app(server)
+
+
+class TestBackendServing:
+    def test_backend_chat_completion(self, backend_served):
+        async def fn(c):
+            r = await c.post(
+                "/v1/chat/completions",
+                json={
+                    "messages": [{"role": "user", "content": "hi"}],
+                    "max_tokens": 8,
+                },
+            )
+            assert r.status == 200
+            body = await r.json()
+            assert body["choices"][0]["message"]["content"].strip() != ""
+            assert body["usage"]["completion_tokens"] > 0
+
+        _run(backend_served, fn)
+
+    def test_backend_chat_streaming(self, backend_served):
+        async def fn(c):
+            r = await c.post(
+                "/v1/chat/completions",
+                json={
+                    "messages": [{"role": "user", "content": "hi"}],
+                    "max_tokens": 8,
+                    "stream": True,
+                },
+            )
+            assert r.status == 200
+            assert r.headers["Content-Type"].startswith("text/event-stream")
+            raw = (await r.read()).decode()
+            events = [
+                json.loads(line[6:])
+                for line in raw.splitlines()
+                if line.startswith("data: ") and line != "data: [DONE]"
+            ]
+            assert events[0]["choices"][0]["delta"].get("role") == "assistant"
+            text = "".join(
+                e["choices"][0]["delta"].get("content", "") for e in events
+            )
+            assert text.strip() != ""
+            assert events[-1]["choices"][0]["finish_reason"] == "stop"
+            assert raw.rstrip().endswith("data: [DONE]")
+
+        _run(backend_served, fn)
+
+    def test_engine_endpoints_rejected_without_engine(self, backend_served):
+        async def fn(c):
+            for path in ("/v1/stats", "/server_info"):
+                r = await c.get(path)
+                assert r.status == 400, path
+            r = await c.post("/generate", json={"text": "hi"})
+            assert r.status == 400
+            r = await c.get("/health")
+            assert r.status == 200
+
+        _run(backend_served, fn)

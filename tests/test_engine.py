@@ -163,3 +163,27 @@ class TestEngineThread:
             assert len(toks) == 5
         finally:
             engine.stop()
+
+
+def test_hbm_budget_check_rejects_oversized_config(lm):
+    """Startup must fail fast with the sizing math when weights + committed
+    KV exceed the device limit (reference memory governor,
+    engine/mod.rs:199-214)."""
+    import os
+
+    import pytest
+
+    from crane_tpu.serve.engine import InferenceEngine
+
+    os.environ["CRANE_HBM_BYTES"] = str(1024 * 1024)  # 1 MiB: nothing fits
+    try:
+        with pytest.raises(RuntimeError, match="HBM budget exceeded"):
+            InferenceEngine(lm, max_slots=4, max_seq_len=512)
+    finally:
+        del os.environ["CRANE_HBM_BYTES"]
+    # generous limit: constructs fine
+    os.environ["CRANE_HBM_BYTES"] = str(64 * 1024 ** 3)
+    try:
+        InferenceEngine(lm, max_slots=4, max_seq_len=512)
+    finally:
+        del os.environ["CRANE_HBM_BYTES"]

@@ -44,3 +44,40 @@ def test_first_token_attends_only_self():
     np.testing.assert_allclose(
         np.asarray(out[0, 0]), np.asarray(v[0, 0]), rtol=1e-5, atol=1e-6
     )
+
+
+@pytest.mark.parametrize("window", [8, 24, 64])
+def test_sliding_window_matches_sdpa(window):
+    B, S, Hq, Hkv, D = 1, 96, 4, 2, 32
+    q, k, v = rng(B, S, Hq, D, seed=1), rng(B, S, Hkv, D, seed=2), rng(B, S, Hkv, D, seed=3)
+    pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
+    ref = gqa_attention(q, k, v, pos, scale=D ** -0.5, window=window)
+    got = flash_attention_causal(
+        q, k, v, scale=D ** -0.5, block_q=16, block_k=16, window=window,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_softcap_matches_sdpa():
+    B, S, Hq, Hkv, D = 1, 64, 4, 2, 32
+    q, k, v = rng(B, S, Hq, D, seed=4), rng(B, S, Hkv, D, seed=5), rng(B, S, Hkv, D, seed=6)
+    pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
+    ref = gqa_attention(q, k, v, pos, scale=D ** -0.5, logit_softcap=20.0)
+    got = flash_attention_causal(
+        q, k, v, scale=D ** -0.5, block_q=16, block_k=32, softcap=20.0,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_windowed_softcap_combined():
+    B, S, Hq, Hkv, D = 2, 48, 2, 2, 16
+    q, k, v = rng(B, S, Hq, D, seed=7), rng(B, S, Hkv, D, seed=8), rng(B, S, Hkv, D, seed=9)
+    pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
+    ref = gqa_attention(q, k, v, pos, scale=0.2, window=12, logit_softcap=30.0)
+    got = flash_attention_causal(
+        q, k, v, scale=0.2, block_q=16, block_k=16, window=12, softcap=30.0,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
