@@ -338,3 +338,78 @@ class KokoroTts:
                 self.synthesizer(np.asarray(ids), voice_table[row], speed), np.float32
             ))
         return np.concatenate(parts), SAMPLE_RATE
+
+
+# ---------------------------------------------------------------------------
+# Production ONNX checkpoint (the real Kokoro-82M release)
+
+
+class OnnxKokoroSynthesizer:
+    """Synthesis callable backed by the released Kokoro ONNX graph
+    (reference model.rs:544-566: inputs ``input_ids [1, S]`` i64,
+    ``style [1, 256]`` f32, ``speed [1]`` f32 -> output ``waveform``).
+    Input names are introspected so hub re-exports with ``tokens``-style
+    names also load."""
+
+    def __init__(self, session):
+        self.session = session
+        names = session.input_names
+        self.ids_name = next(
+            (n for n in names if n in ("input_ids", "tokens")), names[0]
+        )
+        self.style_name = next((n for n in names if "style" in n), None)
+        self.speed_name = next((n for n in names if "speed" in n), None)
+
+    def __call__(self, ids: np.ndarray, style: np.ndarray, speed: float = 1.0) -> np.ndarray:
+        feeds = {self.ids_name: np.asarray(ids, np.int64).reshape(1, -1)}
+        if self.style_name:
+            feeds[self.style_name] = np.asarray(style, np.float32).reshape(1, -1)
+        if self.speed_name:
+            feeds[self.speed_name] = np.asarray([speed], np.float32)
+        outs = self.session.run(feeds)
+        wav = outs.get("waveform", next(iter(outs.values())))
+        return np.asarray(wav, np.float32).reshape(-1)
+
+
+def load_kokoro_onnx(model_path: str, *, phonemizer=None) -> KokoroTts:
+    """Load the released Kokoro-82M directory layout (reference
+    model.rs:315-345): ``tokenizer.json`` (vocab), ``tokenizer_config.json``
+    (max length), ``onnx/model.onnx`` (graph), ``voices/*.bin`` (style
+    tables)."""
+    import glob
+    import os
+
+    from crane_tpu.onnx import Session, read_file
+
+    root = model_path
+    vocab = parse_vocab(os.path.join(root, "tokenizer.json"))
+    max_seq_len = 512
+    tc = os.path.join(root, "tokenizer_config.json")
+    if os.path.exists(tc):
+        with open(tc) as f:
+            max_seq_len = int(json.load(f).get("model_max_length", 512))
+
+    onnx_path = os.path.join(root, "onnx", "model.onnx")
+    if not os.path.exists(onnx_path):
+        cands = glob.glob(os.path.join(root, "*.onnx")) + glob.glob(
+            os.path.join(root, "onnx", "*.onnx")
+        )
+        if not cands:
+            raise FileNotFoundError(f"no ONNX graph under {root}")
+        onnx_path = cands[0]
+    synthesizer = OnnxKokoroSynthesizer(Session(read_file(onnx_path)))
+
+    voices = {}
+    for p in glob.glob(os.path.join(root, "voices", "*.bin")):
+        voices[os.path.splitext(os.path.basename(p))[0]] = load_voice_bin(p)
+    if not voices:
+        raise FileNotFoundError(f"no voices/*.bin under {root}")
+
+    if phonemizer is None:
+        from crane_tpu.text.g2p import Phonemizer
+
+        phonemizer = Phonemizer()
+    return KokoroTts(
+        vocab, voices, synthesizer,
+        max_seq_len=max_seq_len, phonemizer=phonemizer,
+    )

@@ -227,3 +227,52 @@ class PaddleOcrPipeline:
         regions = sort_reading_order(regions)
         text = "\n".join(r.text for r in regions if r.text.strip())
         return OcrDocument(text=text, regions=regions)
+
+
+# ---------------------------------------------------------------------------
+# Production ONNX checkpoints (reference paddleocr_v6/model.rs:16-18,
+# pp-ocrv6_small_{det,rec}.onnx + ppocrv6_dict.txt)
+
+DETECTOR_FILE = "pp-ocrv6_small_det.onnx"
+RECOGNIZER_FILE = "pp-ocrv6_small_rec.onnx"
+DICTIONARY_FILE = "ppocrv6_dict.txt"
+
+
+class _OnnxNet:
+    """Single-input/single-output ONNX graph as an NCHW callable
+    (reference io_names(), model.rs:62-101)."""
+
+    def __init__(self, session):
+        self.session = session
+        self.input = session.input_names[0]
+        self.output = session.output_names[0]
+
+    def __call__(self, x: "np.ndarray"):
+        return self.session.run({self.input: np.asarray(x, np.float32)})[self.output]
+
+
+def load_paddleocr_onnx(model_dir: str, *, rec_batch_size: int | None = 8) -> PaddleOcrPipeline:
+    """Load the released PP-OCR v6 ONNX checkpoint directory into the
+    pipeline (DB postprocessing, crop batching, CTC decode, reading order
+    all run natively around the ONNX forwards — the same split as the
+    reference's pipeline.rs around its evaluator)."""
+    import os
+
+    from crane_tpu.onnx import Session, read_file
+
+    det_path = os.path.join(model_dir, DETECTOR_FILE)
+    rec_path = os.path.join(model_dir, RECOGNIZER_FILE)
+    dict_path = os.path.join(model_dir, DICTIONARY_FILE)
+    for p in (det_path, rec_path, dict_path):
+        if not os.path.exists(p):
+            raise FileNotFoundError(
+                f"PaddleOCR v6 checkpoint incomplete at {model_dir}: missing "
+                f"{os.path.basename(p)} (expected {DETECTOR_FILE}, "
+                f"{RECOGNIZER_FILE}, {DICTIONARY_FILE})"
+            )
+    detector = _OnnxNet(Session(read_file(det_path)))
+    recognizer = _OnnxNet(Session(read_file(rec_path)))
+    dictionary = load_dictionary(dict_path)
+    return PaddleOcrPipeline(
+        detector, recognizer, dictionary, rec_batch_size=rec_batch_size
+    )

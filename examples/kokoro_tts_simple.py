@@ -3,8 +3,10 @@
 
 Usage: python examples/kokoro_tts_simple.py --model-path /path/to/kokoro \
            --text "Hello world" --voice af_heart --out out.wav
-The model dir needs tokenizer.json (phoneme vocab) and voices/*.bin; the
-synthesis net runs from converted weights when present, random-init otherwise.
+The model dir needs tokenizer.json (phoneme vocab) and voices/*.bin. With
+the released onnx/model.onnx present this synthesizes with the real
+Kokoro-82M graph (crane_tpu.onnx evaluator); otherwise it falls back to the
+random-init native net (pipeline smoke test).
 """
 
 import argparse
@@ -31,13 +33,20 @@ ap.add_argument("--speed", type=float, default=1.0)
 ap.add_argument("--out", default="out.wav")
 args = ap.parse_args()
 
-vocab = parse_vocab(os.path.join(args.model_path, "tokenizer.json"))
-voices = {
-    os.path.splitext(os.path.basename(p))[0]: load_voice_bin(p)
-    for p in glob.glob(os.path.join(args.model_path, "voices", "*.bin"))
-}
-synth = KokoroSynthesizer(KokoroNetConfig(vocab_size=max(vocab.values()) + 1))
-tts = KokoroTts(vocab, voices, synth, phonemizer=Phonemizer())
+has_onnx = glob.glob(os.path.join(args.model_path, "onnx", "*.onnx")) or \
+    glob.glob(os.path.join(args.model_path, "*.onnx"))
+if has_onnx:
+    from crane_tpu.models.kokoro_tts import load_kokoro_onnx
+
+    tts = load_kokoro_onnx(args.model_path)
+else:
+    vocab = parse_vocab(os.path.join(args.model_path, "tokenizer.json"))
+    voices = {
+        os.path.splitext(os.path.basename(p))[0]: load_voice_bin(p)
+        for p in glob.glob(os.path.join(args.model_path, "voices", "*.bin"))
+    }
+    synth = KokoroSynthesizer(KokoroNetConfig(vocab_size=max(vocab.values()) + 1))
+    tts = KokoroTts(vocab, voices, synth, phonemizer=Phonemizer())
 wav, sr = tts.generate_speech(args.text, voice=args.voice, speed=args.speed)
 save_wav(args.out, np.clip(wav, -1, 1), sr)
 print(f"wrote {args.out} ({len(wav)} samples @ {sr} Hz)")
