@@ -158,29 +158,77 @@ def letter_to_sound(word: str) -> str:
 
 @dataclasses.dataclass
 class Phonemizer:
-    """Lexicon-first phonemizer with rule fallback and optional OOV model.
+    """Three-tier phonemizer (reference g2p/mod.rs + languages/english.rs):
+    lexicon lookup -> letter-to-sound rules -> neural OOV model, with an
+    optional IPA postprocessing pass, LRU-cached per word like the
+    reference's OOV cache.
 
-    ``lexicon`` maps lowercase words to phoneme strings; ``oov_fn`` (e.g. a
-    neural beam-search model) handles words missing from both; results are
-    LRU-cached like the reference's OOV cache.
+    ``lexicon``: a plain dict OR a :class:`crane_tpu.text.lexicon.Lexicon`
+    (TSV-compiled, multi-pronunciation). ``oov_fn``: callable word -> IPA
+    (e.g. ``OovModel(...).phonemize_word`` — beam-search encoder-decoder,
+    crane_tpu.text.oov); rules handle the word when it's absent or raises.
+    ``postprocess``: an :class:`crane_tpu.text.ipa_postprocess.IpaNormalizer`
+    applied to the final string.
     """
 
-    lexicon: dict[str, str] = dataclasses.field(default_factory=dict)
+    lexicon: object = dataclasses.field(default_factory=dict)
     oov_fn: Optional[Callable[[str], str]] = None
     word_sep: str = " "
+    postprocess: object = None
+    use_builtin_lexicon: bool = True
 
     def __post_init__(self):
         self._oov_cached = functools.lru_cache(maxsize=4096)(self._phonemize_word)
+        if self.use_builtin_lexicon:
+            from crane_tpu.text.seed_lexicon import SEED_LEXICON
+
+            self._seed = SEED_LEXICON
+        else:
+            self._seed = {}
+
+    def _lookup(self, word: str) -> Optional[str]:
+        if hasattr(self.lexicon, "get_all"):  # Lexicon: first alternative
+            hit = self.lexicon.get(word)
+        else:
+            hit = self.lexicon.get(word)
+        if hit is not None:
+            return hit
+        return self._seed.get(word)
 
     def _phonemize_word(self, word: str) -> str:
-        lex = self.lexicon.get(word)
+        lex = self._lookup(word)
         if lex is not None:
             return lex
         if self.oov_fn is not None:
-            return self.oov_fn(word)
+            try:
+                out = self.oov_fn(word)
+                if out:
+                    return out
+            except Exception:
+                pass  # tier miss, not a hard failure (english.rs semantics)
         return letter_to_sound(word)
 
     def phonemize(self, text: str) -> str:
         text = normalize_text(text)
         words = re.findall(r"[a-zA-Z']+", text)
-        return self.word_sep.join(self._oov_cached(w.lower()) for w in words)
+        out = self.word_sep.join(self._oov_cached(w.lower()) for w in words)
+        if self.postprocess is not None:
+            out = self.postprocess.normalize(out)
+        return out
+
+    @classmethod
+    def from_assets(cls, lexicon_tsv: str | None = None,
+                    oov_dir: str | None = None, **kw) -> "Phonemizer":
+        """Build from released assets: a ``word\\tIPA`` TSV lexicon and/or a
+        Moonshine-TTS OOV model directory (onnx-config.json + model.onnx)."""
+        lex: object = {}
+        if lexicon_tsv:
+            from crane_tpu.text.lexicon import Lexicon
+
+            lex = Lexicon.from_tsv(lexicon_tsv)
+        oov = None
+        if oov_dir:
+            from crane_tpu.text.oov import OovModel
+
+            oov = OovModel.from_dir(oov_dir).phonemize_word
+        return cls(lexicon=lex, oov_fn=oov, **kw)
