@@ -25,6 +25,8 @@ class GenerationConfig:
     # KV-cache quantization: None (fp), 8 (int8) or 4 (nibble-packed int4 —
     # the reference's CRANE_KV_QUANT long-context lever, qwen3_5/kv_cache.rs)
     kv_quant_bits: int | None = None
+    # tokens decoded per device dispatch (lax.scan block; 1 = per-token loop)
+    decode_block: int = 8
 
     @staticmethod
     def greedy(max_new_tokens: int = 512, **kw) -> "GenerationConfig":

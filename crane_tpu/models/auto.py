@@ -349,10 +349,21 @@ def from_pretrained(
     )
 
 
-def quantize_params(params: dict, *, bits: int = 8, block: int = 32) -> dict:
+def quantize_params(
+    params: dict, *, bits: int = 8, block: int = 32, quant_tied_head: bool | None = None
+) -> dict:
     """In-situ quantization of all large linear weights (reference ISQ,
-    ops/linear.rs:80-116). Embeddings, norms and biases stay dense; the tied
-    lm_head is never quantized (qwen3_5/model.rs:116-121)."""
+    ops/linear.rs:80-116). Embeddings, norms and biases stay dense.
+
+    ``quant_tied_head``: for tied-embedding models, additionally store a
+    quantized COPY of the head projection (the bf16 embedding stays for
+    gathers). On Qwen3-0.6B the tied head is ~311 MB bf16 — the single
+    largest per-token HBM read in quantized decode — so this trades ~78 MB
+    of extra weight memory (int4) for ~1.4x decode. The reference never
+    quantizes the tied head (qwen3_5/model.rs:116-121), so the default is
+    off unless CRANE_QUANT_TIED_HEAD=1."""
+    import os
+
     from crane_tpu.ops.linear import quantize_weight
 
     def q_layer(layer):
@@ -368,6 +379,22 @@ def quantize_params(params: dict, *, bits: int = 8, block: int = 32) -> dict:
 
     new = dict(params)
     new["layers"] = tuple(q_layer(l) for l in params["layers"])
+    if quant_tied_head is None:
+        quant_tied_head = os.environ.get("CRANE_QUANT_TIED_HEAD") == "1"
+    def q_head(w):
+        # pad the vocab dim to a 512 multiple so the Pallas quant kernel is
+        # eligible (151936 = 128 x 1187 never divides 256); padded columns
+        # quantize to zero codes/scales and lm_logits slices them off
+        import jax.numpy as jnp
+
+        o = w.shape[1]
+        pad = (-o) % 512
+        if pad:
+            w = jnp.pad(w, ((0, 0), (0, pad)))
+        return quantize_weight(w, bits=bits, block=block)
+
     if "lm_head" in params:
-        new["lm_head"] = quantize_weight(params["lm_head"], bits=bits, block=block)
+        new["lm_head"] = q_head(params["lm_head"])
+    elif quant_tied_head and "embed" in params:
+        new["lm_head"] = q_head(params["embed"].T)
     return new

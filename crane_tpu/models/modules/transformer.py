@@ -589,6 +589,8 @@ def lm_logits(cfg: TransformerConfig, params: dict, hidden: jax.Array) -> jax.Ar
         head = params["embed"].T
     if hasattr(head, "dequant"):  # QuantizedWeight lm_head
         logits = linear(hidden, head).astype(jnp.float32)
+        if logits.shape[-1] != cfg.vocab_size:  # vocab padded for the kernel
+            logits = logits[..., : cfg.vocab_size]
     else:
         logits = jnp.dot(
             hidden, head.astype(hidden.dtype), preferred_element_type=jnp.float32

@@ -327,3 +327,36 @@ class TestSampling:
         )
         assert draws.max() >= 64  # support widened past the fast-path cap
         assert draws.max() < 200  # ...but never into the low tier
+
+
+def test_gqa_attention_sinks_numeric():
+    """Attention sinks (gpt-oss style): one virtual logit per head absorbs
+    probability mass; output equals manual softmax-with-extra-slot."""
+    import numpy as np
+
+    from crane_tpu.ops.attention import gqa_attention
+
+    rng = np.random.default_rng(0)
+    B, S, Hq, Hkv, D = 1, 4, 4, 2, 8
+    q = jnp.asarray(rng.standard_normal((B, S, Hq, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, Hkv, D)), jnp.float32)
+    sinks = jnp.asarray(rng.standard_normal(Hq), jnp.float32)
+    pos = jnp.arange(S, dtype=jnp.int32)[None]
+    got = np.asarray(gqa_attention(q, k, v, pos, scale=D ** -0.5, sinks=sinks))
+
+    # manual reference per query head
+    G = Hq // Hkv
+    ref = np.zeros_like(got)
+    for h in range(Hq):
+        kv = h // G
+        for s in range(S):
+            logits = np.asarray(q[0, s, h] @ k[0, : s + 1, kv].T) * D ** -0.5
+            all_l = np.concatenate([logits, [float(sinks[h])]])
+            p = np.exp(all_l - all_l.max())
+            p /= p.sum()
+            ref[0, s, h] = p[:-1] @ np.asarray(v[0, : s + 1, kv])
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+    # sinks reduce total attention mass vs plain softmax
+    plain = np.asarray(gqa_attention(q, k, v, pos, scale=D ** -0.5))
+    assert not np.allclose(got, plain)
