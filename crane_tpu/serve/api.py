@@ -735,6 +735,10 @@ def main(argv=None):
     ap.add_argument("--max-concurrent", type=int, default=8)
     ap.add_argument("--max-seq-len", type=int, default=2048)
     ap.add_argument("--decode-tokens-per-seq", type=int, default=8)
+    ap.add_argument("--preempt-after", type=float, default=30.0,
+                    help="seconds a fresh request may starve before the "
+                    "longest-running sequence is preempted and requeued "
+                    "(<=0 disables)")
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     ap.add_argument("--quant", default=None, choices=[None, "q8", "q4"])
     ap.add_argument("--kv-quant", default=None, choices=[None, "int8", "int4"])
@@ -780,6 +784,7 @@ def main(argv=None):
             max_seq_len=args.max_seq_len,
             decode_tokens_per_seq=args.decode_tokens_per_seq,
             kv_quant_bits={"int8": 8, "int4": 4}.get(args.kv_quant),
+            preempt_after_s=args.preempt_after if args.preempt_after > 0 else None,
         )
     tts = asr = vlm = None
     if args.vlm_path:

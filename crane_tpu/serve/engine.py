@@ -117,11 +117,18 @@ class InferenceEngine:
         max_seq_len: int = 2048,
         decode_tokens_per_seq: int = 8,
         kv_quant_bits: int | None = None,
+        preempt_after_s: float | None = 30.0,
     ):
         self.lm = lm
         self.max_slots = max_slots
         self.max_seq_len = max_seq_len
         self.decode_tokens_per_seq = decode_tokens_per_seq
+        # when the oldest waiting request has starved this long with every
+        # slot busy, preempt the longest-running sequence and requeue it
+        # (reference longest-first preemption, engine/mod.rs:477-545; the
+        # scarce resource here is KV slots rather than KV bytes). None
+        # disables preemption.
+        self.preempt_after_s = preempt_after_s
 
         _check_hbm_budget(lm, max_slots, max_seq_len, kv_quant_bits)
         self.cache = lm.init_cache(max_slots, max_seq_len, quant_bits=kv_quant_bits)
@@ -214,6 +221,9 @@ class InferenceEngine:
             self._admit(seq)
             return True
 
+        if self._maybe_preempt():
+            return True
+
         if any(self.active):
             n = 1 if self.scheduler.waiting else self.decode_tokens_per_seq
             self._decode_block(n)
@@ -245,6 +255,50 @@ class InferenceEngine:
             if seq is not None and seq.cancelled:
                 self._finish(seq, FinishReason.ABORT)
 
+    def _maybe_preempt(self) -> bool:
+        """Preempt-and-requeue under slot starvation: when the oldest
+        waiting request has aged past ``preempt_after_s`` and every slot is
+        busy, evict the running sequence with the most generated tokens
+        (longest-first, reference engine/mod.rs:477-545) and requeue it at
+        the back of the waiting queue. Its KV state is reconstructed by
+        re-prefilling prompt+generated on re-admission; the client stream
+        simply pauses — no tokens are lost or re-sent."""
+        if self.preempt_after_s is None or not self.scheduler.waiting:
+            return False
+        if any(s is None for s in self.slots):
+            return False  # a slot is free; normal admission handles it
+        # only a FRESH starved request triggers preemption — a requeued
+        # victim waits for a natural slot release, which breaks the
+        # preempt/re-preempt ping-pong two long requests would otherwise
+        # enter at small timeouts
+        now = time.monotonic()
+        head = next(
+            (s for s in self.scheduler.waiting
+             if not s.preempted and now - s.submitted_at >= self.preempt_after_s),
+            None,
+        )
+        if head is None:
+            return False
+        victim = max(
+            (s for s in self.slots if s is not None and s.generated),
+            key=lambda s: len(s.generated),
+            default=None,
+        )
+        if victim is None:
+            return False
+        self.active[victim.slot] = False
+        self.slots[victim.slot] = None
+        victim.slot = -1
+        victim.preempted = True
+        self.scheduler.requeue(victim)
+        self.stats.requests_preempted += 1
+        log.info(
+            "preempted %s (%d generated) for starved head %s (waited %.1fs)",
+            victim.request_id, len(victim.generated), head.request_id,
+            time.monotonic() - head.submitted_at,
+        )
+        return True
+
     def _free_slot(self) -> int:
         for i, s in enumerate(self.slots):
             if s is None:
@@ -253,31 +307,35 @@ class InferenceEngine:
 
     def _admit(self, seq: Sequence):
         req = seq.request
-        if seq.prompt_len == 0:
+        # context = prompt for a fresh sequence; prompt + generated-so-far
+        # for one resumed after preemption (KV reconstruction by re-prefill)
+        ctx = seq.context_ids()
+        ctx_len = len(ctx)
+        if ctx_len == 0:
             seq.send_error("empty prompt")
             self.stats.requests_failed += 1
             return
-        if seq.prompt_len + 1 >= self.max_seq_len:
+        if ctx_len + 1 >= self.max_seq_len:
             # prompt-too-long rejection (reference engine/mod.rs:651-665)
             seq.send_error(
-                f"prompt length {seq.prompt_len} exceeds max_seq_len {self.max_seq_len}"
+                f"prompt length {ctx_len} exceeds max_seq_len {self.max_seq_len}"
             )
             self.stats.requests_failed += 1
             return
         # clamp generation budget to the slot capacity
-        budget = self.max_seq_len - seq.prompt_len - 1
-        req.max_new_tokens = min(req.max_new_tokens, budget)
+        budget = self.max_seq_len - ctx_len - 1
+        req.max_new_tokens = min(req.max_new_tokens, len(seq.generated) + budget)
 
         slot = self._free_slot()
         seq.slot = slot
         t0 = time.perf_counter()
 
-        s_bucket = bucket_length(seq.prompt_len, floor=64, ceiling=self.max_seq_len)
+        s_bucket = bucket_length(ctx_len, floor=64, ceiling=self.max_seq_len)
         padded = np.zeros((1, s_bucket), np.int32)
-        padded[0, : seq.prompt_len] = req.prompt_ids
+        padded[0, :ctx_len] = ctx
 
         logits, self.cache = self.lm.prefill_slot(
-            self.cache, padded, slot, seq.prompt_len
+            self.cache, padded, slot, ctx_len
         )
 
         # per-slot sampling state
@@ -291,7 +349,7 @@ class InferenceEngine:
         )
         tail = np.full((RECENT_WINDOW,), -1, np.int32)
         if s.repetition_penalty != 1.0:
-            t = np.asarray(req.prompt_ids[-RECENT_WINDOW:], np.int32)
+            t = np.asarray(ctx[-RECENT_WINDOW:], np.int32)
             tail[-len(t):] = t
         self.recent = self.recent.at[slot].set(tail)
 
@@ -307,13 +365,11 @@ class InferenceEngine:
         self.slots[slot] = seq
         self.active[slot] = True
         self.scheduler.promote(seq)
-        self.stats.prompt_tokens += seq.prompt_len
+        self.stats.prompt_tokens += ctx_len
         self.stats.prefill_time_s += time.perf_counter() - t0
 
-        if self.lm.tokenizer is not None:
-            seq.detok = TokenOutputStream(self.lm.tokenizer)
-        else:
-            seq.detok = None
+        if seq.detok is None and self.lm.tokenizer is not None:
+            seq.detok = TokenOutputStream(self.lm.tokenizer)  # survives preemption
         self._emit(seq, int(first[0]))
 
     def _emit(self, seq: Sequence, token: int) -> bool:

@@ -34,6 +34,14 @@ class Scheduler:
         if seq in self.running:
             self.running.remove(seq)
 
+    def requeue(self, seq: Sequence):
+        """Preempted sequence goes to the END of the waiting queue — the
+        head is the starved request the preemption made room for
+        (reference longest-first preempt-and-requeue, engine/mod.rs:477-545)."""
+        if seq in self.running:
+            self.running.remove(seq)
+        self.waiting.append(seq)
+
     def drop_waiting(self, request_id: str) -> bool:
         for s in list(self.waiting):
             if s.request_id == request_id:

@@ -62,6 +62,7 @@ class Sequence:
         self.detok = None  # TokenOutputStream attached by the engine
         self.finish_reason: Optional[FinishReason] = None
         self.cancelled = False
+        self.preempted = False
         self.submitted_at = time.monotonic()
         self.first_token_at: Optional[float] = None
 
@@ -72,6 +73,13 @@ class Sequence:
     @property
     def prompt_len(self) -> int:
         return len(self.request.prompt_ids)
+
+    def context_ids(self) -> list[int]:
+        """Prompt + already-generated tokens — the prefill input when the
+        sequence is (re)admitted after a preemption. Re-prefilling this
+        reconstructs the evicted KV state exactly (static-slot translation
+        of the reference's KV swap-out/swap-in)."""
+        return list(self.request.prompt_ids) + self.generated
 
     def should_stop(self, token: int) -> Optional[FinishReason]:
         if token in self.request.eos_token_ids:

@@ -15,6 +15,7 @@ class EngineStats:
         self.requests_completed = 0
         self.requests_aborted = 0
         self.requests_failed = 0
+        self.requests_preempted = 0
         self.prompt_tokens = 0
         self.generated_tokens = 0
         self.prefill_time_s = 0.0
@@ -29,6 +30,7 @@ class EngineStats:
             "requests_completed": self.requests_completed,
             "requests_aborted": self.requests_aborted,
             "requests_failed": self.requests_failed,
+            "requests_preempted": self.requests_preempted,
             "prompt_tokens": self.prompt_tokens,
             "generated_tokens": self.generated_tokens,
             "engine_steps": self.engine_steps,

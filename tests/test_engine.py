@@ -153,6 +153,60 @@ class TestEngine:
         assert snap["decode_tok_s"] >= 0
 
 
+class TestPreemption:
+    """Longest-first preempt-and-requeue under slot starvation (reference
+    engine/mod.rs:477-545 translated to static slots: the scarce resource
+    is slots, KV state is reconstructed by re-prefilling prompt+generated)."""
+
+    def test_preempted_stream_matches_unpreempted(self, lm):
+        prompt_a, prompt_b = [3, 14, 15, 92, 6], [7, 8, 9]
+        exp_a = lm.generate(prompt_a, GenerationConfig.greedy(12))
+        exp_b = lm.generate(prompt_b, GenerationConfig.greedy(4))
+
+        engine = InferenceEngine(lm, max_slots=1, max_seq_len=128,
+                                 decode_tokens_per_seq=2, preempt_after_s=0.0)
+        qa = engine.submit(greedy_request("a", prompt_a, n=12))
+        for _ in range(3):  # admit A, decode a couple of blocks
+            engine.step()
+        qb = engine.submit(greedy_request("b", prompt_b, n=4))
+        run_until_idle(engine)
+
+        toks_b, _ = collect(qb)
+        toks_a, _ = collect(qa)
+        assert toks_b == exp_b
+        # byte-identical despite mid-stream eviction + KV reconstruction
+        assert toks_a == exp_a
+        assert engine.stats.requests_preempted == 1
+        assert engine.stats.requests_completed == 2
+
+    def test_requeued_victim_never_retriggers_preemption(self, lm):
+        """Two long requests at timeout 0 must not ping-pong: the requeued
+        victim waits for a natural release, so exactly one preemption."""
+        engine = InferenceEngine(lm, max_slots=1, max_seq_len=128,
+                                 decode_tokens_per_seq=2, preempt_after_s=0.0)
+        qa = engine.submit(greedy_request("a", [1, 2, 3], n=10))
+        for _ in range(3):
+            engine.step()
+        qb = engine.submit(greedy_request("b", [4, 5, 6], n=10))
+        run_until_idle(engine)
+        toks_a, _ = collect(qa)
+        toks_b, _ = collect(qb)
+        assert len(toks_a) == 10 and len(toks_b) == 10
+        assert engine.stats.requests_preempted == 1
+
+    def test_preemption_disabled_by_default_config(self, lm):
+        engine = InferenceEngine(lm, max_slots=1, max_seq_len=64,
+                                 decode_tokens_per_seq=2, preempt_after_s=None)
+        qa = engine.submit(greedy_request("a", [1, 2], n=6))
+        for _ in range(3):
+            engine.step()
+        qb = engine.submit(greedy_request("b", [3, 4], n=4))
+        run_until_idle(engine)
+        collect(qa), collect(qb)
+        assert engine.stats.requests_preempted == 0
+        assert engine.stats.requests_completed == 2
+
+
 class TestEngineThread:
     def test_threaded_run(self, lm):
         engine = InferenceEngine(lm, max_slots=2, max_seq_len=64)
