@@ -175,6 +175,8 @@ class Graph:
     inputs: list  # names (excluding initializers)
     outputs: list  # names
     name: str = ""
+    # name -> (numpy dtype | None, shape tuple with -1 for symbolic dims)
+    input_specs: dict = dataclasses.field(default_factory=dict)
 
 
 def parse_node(buf: bytes) -> Node:
@@ -196,19 +198,43 @@ def _value_info_name(buf: bytes) -> str:
     return _str(parse_fields(buf).get(1, []))
 
 
+# TensorProto elem_type -> numpy dtype (the subset production graphs use)
+_ELEM_DTYPES = {1: np.float32, 6: np.int32, 7: np.int64, 9: np.bool_,
+                10: np.float16, 11: np.float64}
+
+
+def _value_info_spec(buf: bytes):
+    """(name, dtype | None, shape | None) from a ValueInfoProto. Dims are
+    ints; symbolic dims (dim_param) come back as -1."""
+    f = parse_fields(buf)
+    name = _str(f.get(1, []))
+    dtype = shape = None
+    for t in f.get(2, []):  # TypeProto
+        tf = parse_fields(t)
+        for tt in tf.get(1, []):  # tensor_type
+            ttf = parse_fields(tt)
+            if ttf.get(1):
+                dtype = _ELEM_DTYPES.get(ttf[1][0])
+            for sh in ttf.get(2, []):  # TensorShapeProto
+                dims = []
+                for d in parse_fields(sh).get(1, []):  # Dimension
+                    df = parse_fields(d)
+                    dims.append(_signed(df[1][0]) if df.get(1) else -1)
+                shape = tuple(dims)
+    return name, dtype, shape
+
+
 def parse_graph(buf: bytes) -> Graph:
     f = parse_fields(buf)
     inits = dict(parse_tensor(t) for t in f.get(5, []))
-    inputs = [
-        n for n in (_value_info_name(v) for v in f.get(11, []))
-        if n not in inits
-    ]
+    specs = [_value_info_spec(v) for v in f.get(11, [])]
     return Graph(
         nodes=[parse_node(n) for n in f.get(1, [])],
         initializers=inits,
-        inputs=inputs,
+        inputs=[n for n, _, _ in specs if n not in inits],
         outputs=[_value_info_name(v) for v in f.get(12, [])],
         name=_str(f.get(2, [])),
+        input_specs={n: (dt, sh) for n, dt, sh in specs if n not in inits},
     )
 
 

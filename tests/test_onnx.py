@@ -396,3 +396,18 @@ def test_paddleocr_onnx_checkpoint_layout(tmp_path):
     assert len(boxes) >= 1
     doc = pipe.recognize(img)
     assert doc.regions is not None  # full pipeline executed
+
+
+def test_input_specs_dtype_and_shape(tmp_path):
+    """Graph inputs expose declared dtype + shape (symbolic dims -> -1)."""
+    m = nn.Linear(8, 4)
+    path = str(tmp_path / "spec.onnx")
+    with torch.no_grad():
+        torch.onnx.export(
+            m.eval(), torch.zeros(2, 8), path, opset_version=17, dynamo=False,
+            input_names=["x"], dynamic_axes={"x": {0: "batch"}},
+        )
+    g = read_file(path).graph
+    dt, sh = g.input_specs["x"]
+    assert dt == np.float32
+    assert sh == (-1, 8)  # symbolic batch dim
