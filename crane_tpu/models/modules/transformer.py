@@ -361,17 +361,36 @@ def attention_block(
         and jax.default_backend() == "tpu"
         and os.environ.get("CRANE_NO_QUANT_ATTN") != "1"
     )
-    if use_fused_quant:
-        # decode over a quantized cache: dequant fused into the Pallas kernel,
-        # HBM moves int8/int4 bytes and only ceil(len/block) KV blocks per row
+    use_fused_fp = (
+        read_cache
+        and S == 1
+        and not hasattr(new_cache, "dequant")
+        and extra_mask is None
+        and D % 64 == 0
+        and (Hkv * D) % 128 == 0
+        and new_cache.k.shape[1] % 256 == 0
+        and jax.default_backend() == "tpu"
+        and os.environ.get("CRANE_NO_FP_ATTN") != "1"
+    )
+    if use_fused_quant or use_fused_fp:
+        # decode through the Pallas kernel: quantized caches dequant in VMEM
+        # (HBM moves int8/int4 bytes); fp caches get the same live-length
+        # index-map clamp, so a row at length L moves ceil(L/block) KV blocks
+        # instead of the whole [max_seq] buffer the XLA path reads
         from crane_tpu.ops.pallas.quant_attention import quant_decode_attention
 
+        if use_fused_quant:
+            kv_args = (new_cache.k, new_cache.v, new_cache.k_scale,
+                       new_cache.v_scale)
+            bits, max_t = new_cache.bits, new_cache.max_seq
+        else:
+            kv_args = (new_cache.k, new_cache.v, None, None)
+            bits, max_t = 16, new_cache.k.shape[1]
         out = quant_decode_attention(
-            q, new_cache.k, new_cache.v, new_cache.k_scale, new_cache.v_scale,
-            positions[:, 0] + 1,
-            bits=new_cache.bits, scale=scale, window=window,
+            q, *kv_args, positions[:, 0] + 1,
+            bits=bits, scale=scale, window=window,
             logit_softcap=cfg.attn_logit_softcap,
-            block_t=min(512, new_cache.max_seq),
+            block_t=min(512, max_t),
         )
         if gate is not None:
             out = out * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(out.dtype)

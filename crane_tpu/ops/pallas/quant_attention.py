@@ -46,10 +46,14 @@ _NEG_INF = -1e30
 
 
 def _kernel(
-    lens_ref, qbd_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
-    m_scr, l_scr, acc_scr,
-    *, bits, scale, block_t, window, logit_softcap, n_kv_heads, group, head_dim,
+    lens_ref, qbd_ref, k_ref, v_ref, *rest,
+    bits, scale, block_t, window, logit_softcap, n_kv_heads, group, head_dim,
 ):
+    if bits == 16:  # fp cache: no scale planes ride along
+        ks_ref = vs_ref = None
+        o_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = rest
     b = pl.program_id(0)
     j = pl.program_id(1)
     nt = pl.num_programs(1)
@@ -87,7 +91,10 @@ def _kernel(
                 preferred_element_type=jnp.float32,
             )
 
-        s = s * (ks_ref[0].astype(jnp.float32) * scale)  # [Hq, Bt] elementwise
+        if ks_ref is None:
+            s = s * scale
+        else:
+            s = s * (ks_ref[0].astype(jnp.float32) * scale)  # [Hq, Bt] elementwise
         if logit_softcap is not None:
             s = jnp.tanh(s / logit_softcap) * logit_softcap
 
@@ -102,7 +109,10 @@ def _kernel(
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)  # [Hq, 1]
         l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
-        pv = (p * vs_ref[0].astype(jnp.float32)).astype(qbd.dtype)
+        if vs_ref is None:
+            pv = p.astype(qbd.dtype)
+        else:
+            pv = (p * vs_ref[0].astype(jnp.float32)).astype(qbd.dtype)
         if bits == 4:
             acc_scr[:, :half] = acc_scr[:, :half] * alpha + jax.lax.dot_general(
                 pv, v_lo.astype(qbd.dtype), (((1,), (0,)), ((), ())),
@@ -154,13 +164,19 @@ def quant_decode_attention(
     block_t: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
-    """Fused dequant + GQA decode attention over a quantized KV cache.
+    """Fused dequant + GQA decode attention over a quantized OR fp KV cache.
 
     q ``[B, 1, Hq, D]``; k/v codes ``[B, T, Hkv, D]`` int8 or
     ``[B, T, Hkv, D/2]`` packed int4 (:func:`crane_tpu.ops.kv_cache.pack_int4`);
     scales ``[B, Hkv, T]`` f32; ``kv_valid [B]`` int32 = per-row count of
     valid KV slots (the query attends to ``[max(0, valid-window), valid)``).
     Returns ``[B, 1, Hq, D]`` in q.dtype.
+
+    ``bits=16``: k/v are bf16/f32 cache buffers and ``k_scale``/``v_scale``
+    are ignored (pass None) — same one-flat-MXU-dot structure and the same
+    live-length index-map clamp (a row at length L moves ceil(L/block_t)
+    blocks regardless of the allocated max_seq), which is what the plain XLA
+    decode path cannot do.
     """
     B, S, Hq, D = q.shape
     assert S == 1, "decode kernel: S must be 1"
@@ -174,9 +190,10 @@ def quant_decode_attention(
     # flat codes (free reshape of the contiguous cache buffer)
     k2 = k_codes.reshape(B, T, Hkv * dp)
     v2 = v_codes.reshape(B, T, Hkv * dp)
-    # scales expanded to query heads, [B, Hq, T]
-    ksx = jnp.repeat(k_scale, G, axis=1)
-    vsx = jnp.repeat(v_scale, G, axis=1)
+    if bits != 16:
+        # scales expanded to query heads, [B, Hq, T]
+        ksx = jnp.repeat(k_scale, G, axis=1)
+        vsx = jnp.repeat(v_scale, G, axis=1)
 
     # block-diagonal q [B, Hq, Hkv*D]; for int4 the column layout matches the
     # kernel's split unpack: [all-heads lo dims | all-heads hi dims]
@@ -211,18 +228,26 @@ def quant_decode_attention(
         window=window, logit_softcap=logit_softcap,
         n_kv_heads=Hkv, group=G, head_dim=D,
     )
+    in_specs = [
+        pl.BlockSpec((1, Hq, Hkv * D), lambda b, j, lens: (b, 0, 0)),
+        pl.BlockSpec((1, block_t, Hkv * dp), kv_index),
+        pl.BlockSpec((1, block_t, Hkv * dp), kv_index),
+    ]
+    operands = [kv_valid, qbd, k2, v2]
+    kv_elem = k_codes.dtype.itemsize  # bf16/f32 cache vs int8 code storage
+    per_tok_bytes = Hkv * dp * kv_elem + (0 if bits == 16 else Hkv * 4)
+    if bits != 16:
+        in_specs += [
+            pl.BlockSpec((1, Hq, block_t), sc_index),
+            pl.BlockSpec((1, Hq, block_t), sc_index),
+        ]
+        operands += [ksx, vsx]
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B, nt),
-            in_specs=[
-                pl.BlockSpec((1, Hq, Hkv * D), lambda b, j, lens: (b, 0, 0)),
-                pl.BlockSpec((1, block_t, Hkv * dp), kv_index),
-                pl.BlockSpec((1, block_t, Hkv * dp), kv_index),
-                pl.BlockSpec((1, Hq, block_t), sc_index),
-                pl.BlockSpec((1, Hq, block_t), sc_index),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, Hkv, G, D), lambda b, j, lens: (b, 0, 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((Hq, 128), jnp.float32),  # running max
@@ -233,10 +258,10 @@ def quant_decode_attention(
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=int(2 * 2 * B * Hq * T * D),
-            bytes_accessed=int(2 * B * T * Hkv * (dp + 4) + B * Hq * D * 2),
+            bytes_accessed=int(2 * B * T * per_tok_bytes + B * Hq * D * 2),
             transcendentals=int(B * Hq * T),
         ),
         interpret=interpret,
-    )(kv_valid, qbd, k2, v2, ksx, vsx)
+    )(*operands)
 
     return out.reshape(B, 1, Hq, D)

@@ -145,3 +145,48 @@ def test_decode_after_prefill_matches_full_recompute():
     )
     ref = _reference_decode(q, cache, (lengths - 1)[:, None], scale=D**-0.5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+# ── bits=16: same kernel over an fp cache (live-length clamp for the
+# default serving decode path) ───────────────────────────────────────────────
+
+
+def _setup_fp(*, B=2, T=256, Hq=4, Hkv=2, D=64, seed=0, dtype=jnp.float32):
+    from crane_tpu.ops.kv_cache import LayerKVCache
+
+    rng = np.random.default_rng(seed)
+    lengths = np.array([T // 2 - 3, T][:B], dtype=np.int32)
+    cache = LayerKVCache.empty(B, T, Hkv, D, dtype=dtype)
+    for b in range(B):
+        k = jnp.asarray(rng.normal(size=(1, int(lengths[b]), Hkv, D)).astype(np.float32), dtype)
+        v = jnp.asarray(rng.normal(size=(1, int(lengths[b]), Hkv, D)).astype(np.float32), dtype)
+        cache = cache.update(k, v, jnp.asarray(0), row=jnp.asarray(b))
+    q = jnp.asarray(rng.normal(size=(B, 1, Hq, D)).astype(np.float32), dtype)
+    return q, cache, jnp.asarray(lengths)
+
+
+def test_fp_kernel_matches_xla_path():
+    q, cache, lengths = _setup_fp()
+    out = quant_decode_attention(
+        q, cache.k, cache.v, None, None, lengths,
+        bits=16, scale=0.125, block_t=128, interpret=True,
+    )
+    ref = gqa_attention(q, cache.k, cache.v, (lengths - 1)[:, None], scale=0.125)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_fp_kernel_window_softcap_and_empty_row():
+    q, cache, _ = _setup_fp(T=256)
+    lengths = jnp.asarray(np.array([0, 200], dtype=np.int32))
+    out = quant_decode_attention(
+        q, cache.k, cache.v, None, None, lengths,
+        bits=16, scale=0.125, window=64, logit_softcap=30.0,
+        block_t=128, interpret=True,
+    )
+    ref = gqa_attention(
+        q, cache.k, cache.v, (lengths - 1)[:, None], scale=0.125,
+        window=64, logit_softcap=30.0,
+    )
+    assert np.all(np.isfinite(np.asarray(out)))
+    np.testing.assert_array_equal(np.asarray(out[0]), 0.0)
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(ref[1]), atol=2e-5, rtol=1e-4)

@@ -99,6 +99,30 @@ def test_quant_decode_attention_vs_xla_on_chip(bits):
     )
 
 
+def test_fp_decode_attention_vs_xla_on_chip():
+    """bits=16 mode: same kernel, bf16 cache, live-length block clamp."""
+    from crane_tpu.ops.kv_cache import LayerKVCache
+    from crane_tpu.ops.attention import gqa_attention
+    from crane_tpu.ops.pallas.quant_attention import quant_decode_attention
+
+    B, T, Hq, Hkv, D = 2, 1024, 16, 8, 128
+    valid = jnp.asarray([700, 512], jnp.int32)
+    cache = LayerKVCache.empty(B, T, Hkv, D, dtype=jnp.bfloat16)
+    kv_k = rng(B, T, Hkv, D, seed=7) * 0.5
+    kv_v = rng(B, T, Hkv, D, seed=8) * 0.5
+    cache = cache.update(kv_k, kv_v, jnp.asarray(0, jnp.int32))
+    q = rng(B, 1, Hq, D, seed=9)
+    got = quant_decode_attention(
+        q, cache.k, cache.v, None, None, valid,
+        bits=16, scale=D ** -0.5, block_t=256,
+    )
+    ref = gqa_attention(q, cache.k, cache.v, (valid - 1)[:, None], scale=D ** -0.5)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        rtol=5e-2, atol=5e-2,
+    )
+
+
 # ── GDN recurrence ──────────────────────────────────────────────────────────
 
 
