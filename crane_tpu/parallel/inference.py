@@ -1,0 +1,60 @@
+"""Tensor-parallel inference: run a CausalLM sharded over a device mesh.
+
+The reference is single-device by design (SURVEY.md §2.9); this is the
+TPU-native extension that serves models too large for one chip's HBM.
+Weights take the Megatron TP layout (`sharding.param_partition_specs`), KV
+caches shard their kv-head axis over ``tp``, and the existing jitted
+prefill/decode programs run unchanged — GSPMD propagates the shardings and
+places the psum/all-gather collectives on ICI (scaling-book recipe:
+annotate, let XLA insert collectives).
+
+    mesh = make_mesh(dp=1, tp=8)
+    lm = shard_lm(lm, mesh)          # same CausalLM API, distributed arrays
+    out = lm.generate(ids, gen)      # identical tokens, 1/8th HBM per chip
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from crane_tpu.models.causal_lm import CausalLM
+from crane_tpu.parallel.sharding import cache_partition_spec, shard_params
+
+
+def shard_cache(cache, mesh: Mesh):
+    """Distribute a KVCache pytree: kv heads over ``tp``, slot batch over
+    ``dp`` (per-layer scale planes and length vectors replicate)."""
+    spec = cache_partition_spec()
+
+    def put(x):
+        if hasattr(x, "ndim") and x.ndim == 4:  # [B, S, H, D] buffers
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree.map(put, cache)
+
+
+class ShardedCausalLM(CausalLM):
+    """CausalLM whose parameters live distributed over ``mesh``; caches from
+    :meth:`init_cache` are sharded to match, so every jitted step fn runs
+    SPMD with no code changes."""
+
+    def __init__(self, base: CausalLM, mesh: Mesh):
+        super().__init__(
+            base.config,
+            shard_params(base.params, mesh),
+            tokenizer=base.tokenizer,
+            eos_token_ids=base.eos_token_ids,
+            dtype=base.dtype,
+        )
+        self.mesh = mesh
+
+    def init_cache(self, batch: int, max_seq: int, *, quant_bits=None):
+        cache = super().init_cache(batch, max_seq, quant_bits=quant_bits)
+        return shard_cache(cache, self.mesh)
+
+
+def shard_lm(lm: CausalLM, mesh: Mesh) -> ShardedCausalLM:
+    """Distribute a loaded CausalLM over ``mesh`` (Megatron TP + dp slots)."""
+    return ShardedCausalLM(lm, mesh)

@@ -135,3 +135,31 @@ def test_dp_tp_train_step_runs(setup):
     # params stay sharded after the update
     wq = new_params["layers"][0]["attn"]["wq"]
     assert len(wq.sharding.device_set) >= 2
+
+
+def test_tp_generate_matches_single_device(setup):
+    """End-to-end sharded INFERENCE: prefill + block-decode generation with
+    Megatron-TP params and tp-sharded KV produces the single-device tokens
+    (parallel/inference.py — the serve-a-model-too-big-for-one-chip path)."""
+    from crane_tpu.generation.config import GenerationConfig
+    from crane_tpu.models.causal_lm import CausalLM
+    from crane_tpu.parallel.inference import shard_lm
+
+    cfg, _, _ = setup
+    # fresh params: the donating train-step test above may have consumed the
+    # fixture's buffers (replicated shards can alias the source array)
+    params = init_params(cfg, seed=0, dtype=jnp.float32)
+    lm = CausalLM(cfg, params, dtype=jnp.float32)
+    prompt = [3, 14, 15, 92, 6, 53]
+    expected = lm.generate(prompt, GenerationConfig.greedy(10))
+
+    mesh = make_mesh(dp=1, tp=2)
+    slm = shard_lm(lm, mesh)
+    wq = slm.params["layers"][0]["attn"]["wq"]
+    assert len(wq.sharding.device_set) == 2  # weights actually distributed
+    got = slm.generate(prompt, GenerationConfig.greedy(10))
+    assert got == expected
+
+    # sampling path too (same seed -> same tokens through the sharded fns)
+    g = GenerationConfig(max_new_tokens=8, do_sample=True, temperature=0.8, seed=11)
+    assert slm.generate(prompt, g) == lm.generate(prompt, g)
