@@ -742,6 +742,9 @@ def main(argv=None):
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     ap.add_argument("--quant", default=None, choices=[None, "q8", "q4"])
     ap.add_argument("--kv-quant", default=None, choices=[None, "int8", "int4"])
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel degree: shard the model over the "
+                    "first N devices (models too large for one chip)")
     # multimodal backends (reference per-modality startup branches,
     # crane-serve lib.rs:200-619)
     ap.add_argument("--vlm-path", default=None, help="Qwen3-VL checkpoint for image chat")
@@ -777,6 +780,13 @@ def main(argv=None):
             lm = None
         else:
             lm = from_pretrained(args.model_path, dtype=dtype, quant_bits=quant_bits)
+    if lm is not None and args.tp > 1:
+        # tensor-parallel serving: weights + KV sharded over the first tp
+        # devices, every engine step runs SPMD (parallel/inference.py)
+        from crane_tpu.parallel.inference import shard_lm
+        from crane_tpu.parallel.sharding import make_mesh
+
+        lm = shard_lm(lm, make_mesh(dp=1, tp=args.tp))
     if lm is not None:
         engine = InferenceEngine(
             lm,

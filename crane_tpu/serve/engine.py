@@ -93,6 +93,11 @@ def _check_hbm_budget(lm, max_slots: int, max_seq_len: int, kv_quant_bits):
     if kv_quant_bits:  # f32 per-(token, head) scales, k and v
         kv += max_slots * max_seq_len * full_layers * cfg.num_kv_heads * 2 * 4
     need = int((weights + kv) * 1.15)
+    mesh = getattr(lm, "mesh", None)
+    if mesh is not None and mesh.size > 1:
+        # tensor-parallel serving: weights and KV shard over the mesh, so
+        # per-chip residency is ~global/size (replicated norms are noise)
+        need = need // mesh.size
     if need > limit:
         gib = 1024 ** 3
         raise RuntimeError(

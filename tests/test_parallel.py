@@ -163,3 +163,43 @@ def test_tp_generate_matches_single_device(setup):
     # sampling path too (same seed -> same tokens through the sharded fns)
     g = GenerationConfig(max_new_tokens=8, do_sample=True, temperature=0.8, seed=11)
     assert slm.generate(prompt, g) == lm.generate(prompt, g)
+
+
+def test_tp_engine_serving_matches_single_device(setup):
+    """The continuous-batching engine over a tensor-parallel model: admit +
+    batched block-decode run SPMD and stream the single-device tokens."""
+    from crane_tpu.generation.config import GenerationConfig
+    from crane_tpu.models.causal_lm import CausalLM
+    from crane_tpu.parallel.inference import shard_lm
+    from crane_tpu.serve.engine import InferenceEngine
+    from crane_tpu.serve.sequence import EngineRequest, SamplingOptions
+
+    cfg, _, _ = setup
+    params = init_params(cfg, seed=0, dtype=jnp.float32)
+    lm = CausalLM(cfg, params, dtype=jnp.float32)
+    prompts = [[3, 14, 15], [92, 6, 44, 12]]
+    expected = [lm.generate(p, GenerationConfig.greedy(6)) for p in prompts]
+
+    slm = shard_lm(lm, make_mesh(dp=1, tp=2))
+    engine = InferenceEngine(slm, max_slots=2, max_seq_len=64,
+                             decode_tokens_per_seq=2)
+    qs = [
+        engine.submit(EngineRequest(
+            request_id=f"r{i}", prompt_ids=p, max_new_tokens=6,
+            sampling=SamplingOptions(do_sample=False, repetition_penalty=1.0),
+        ))
+        for i, p in enumerate(prompts)
+    ]
+    for _ in range(200):
+        if not engine.step() and engine.request_q.empty():
+            break
+    for q, exp in zip(qs, expected):
+        toks = []
+        while True:
+            r = q.get(timeout=60)
+            if r.finished:
+                assert r.error is None, r.error
+                break
+            if r.token is not None:
+                toks.append(r.token)
+        assert toks == exp
