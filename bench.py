@@ -27,6 +27,9 @@ Modes (``--mode``):
                     nibble-packed KV cache after a 16K prefill (the
                     reference's long-context capability: int4 KV at 0.31x
                     fp16 bytes, README.md:374-383).
+  serve             aggregate tok/s of the engine's masked batched decode
+                    at 1/8/16 slots (continuous-batching inner loop);
+                    vs_baseline = aggregate over single-stream.
 
 All weights are randomly initialized at the real architecture shapes
 (throughput is weight-content-independent). Timing is the MARGINAL rate
@@ -423,9 +426,70 @@ def bench_asr() -> None:
     _emit("qwen3_asr_xrt", xrt, "audio_sec/wall_sec", xrt)
 
 
+def bench_serve() -> None:
+    """Aggregate decode throughput of the serving inner loop: all slots
+    active, masked batched decode in blocks (the engine's _decode_block),
+    at 8 and 16 slots. vs_baseline = aggregate / single-stream rate."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from crane_tpu.models.causal_lm import CausalLM
+    from crane_tpu.models.init import QWEN3_0_6B, init_params
+    from crane_tpu.ops.sampling import SamplingParams
+    from crane_tpu.utils.timing import host_sync
+
+    cfg = QWEN3_0_6B
+    params = init_params(cfg, seed=0, dtype=jnp.bfloat16)
+    lm = CausalLM(cfg, params, dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    rng = np.random.default_rng(0)
+
+    def slot_rate(slots: int) -> float:
+        cache = lm.init_cache(slots, 1024)
+        sp = SamplingParams.make(slots, do_sample=False)
+        recent = jnp.full((slots, 64), -1, jnp.int32)
+        for s in range(slots):  # short prompt per slot
+            tok = rng.integers(0, cfg.vocab_size, (1, 64)).astype(np.int32)
+            _, cache = lm.prefill_slot(cache, tok, s, 64)
+        active = np.ones((slots,), bool)
+        cur = jnp.zeros((slots,), jnp.int32)
+
+        def chain(n_blocks: int) -> float:
+            nonlocal cache, cur, recent
+            t0 = time.perf_counter()
+            for _ in range(n_blocks):
+                out, cache, recent = lm.decode_active(
+                    cache, cur, recent, sp, key, active, DECODE_BLOCK)
+                cur = out[:, -1]
+            host_sync(cur)
+            return time.perf_counter() - t0
+
+        chain(1)  # compile
+        rates = []
+        for _ in range(3):
+            t1 = chain(4)
+            t2 = chain(20)
+            rates.append(16 * DECODE_BLOCK * slots / max(t2 - t1, 1e-9))
+        return sorted(rates)[1]
+
+    single = slot_rate(1)
+    agg8 = slot_rate(8)
+    agg16 = slot_rate(16)
+    best = max(agg8, agg16)
+    print(json.dumps({
+        "metric": "qwen3_0.6b_serve_aggregate_tok_s_per_chip",
+        "value": round(best, 2), "unit": "tokens/sec",
+        "vs_baseline": round(best / single, 3),
+        "detail": {"slots1": round(single, 2), "slots8": round(agg8, 2),
+                   "slots16": round(agg16, 2)},
+    }))
+
+
 MODES = {
     "decode": bench_decode, "vl": bench_vl, "tts": bench_tts,
     "asr": bench_asr, "quant": bench_quant, "longctx": bench_longctx,
+    "serve": bench_serve,
 }
 
 
