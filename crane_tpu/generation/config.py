@@ -27,6 +27,16 @@ class GenerationConfig:
     kv_quant_bits: int | None = None
     # tokens decoded per device dispatch (lax.scan block; 1 = per-token loop)
     decode_block: int = 8
+    # speculative decoding: "ngram" = prompt-lookup drafts (propose the
+    # continuation of the last n-gram's previous occurrence, verify all K
+    # drafts in ONE forward, emit the accepted prefix). Greedy-only
+    # (do_sample=False, repetition_penalty=1.0); other configs fall back to
+    # block decode. Not in the reference — a TPU-native extension: one
+    # K+1-wide forward reads the weights once, so accepted drafts are
+    # nearly free tokens on a bandwidth-bound decode.
+    speculative: str | None = None
+    spec_k: int = 8       # drafts verified per forward
+    spec_ngram: int = 3   # lookup n-gram length
 
     @staticmethod
     def greedy(max_new_tokens: int = 512, **kw) -> "GenerationConfig":

@@ -110,6 +110,46 @@ def _decode_active(cfg, params, rope, cache, tokens, recent, sp, key, active, n_
     return out.T, cache, recent
 
 
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(3,))
+def _verify_step(cfg, params, rope, cache, tokens):
+    """Speculative-decoding verify: ``tokens [B, K+1]`` = [cur, d1..dK]
+    (the last emitted token plus K drafts), written/attended at positions
+    ``lengths..lengths+K``. One forward scores every draft; greedy
+    acceptance:
+
+      model_tok[i] = argmax(logits at position i)
+      n_accept     = longest prefix where model_tok[i] == draft[i+1]
+
+    Emitted tokens are ``model_tok[:n_accept+1]`` — identical to what K+1
+    sequential greedy decode steps would produce, at the weight-HBM cost of
+    ONE step. Cache lengths roll back to ``lengths + n_accept + 1``;
+    rejected-draft KV entries sit beyond the valid length (causally masked)
+    and are overwritten by the next step. Returns (model_tok ``[B, K+1]``,
+    n_accept ``[B]``, cache)."""
+    start = cache.lengths
+    hidden, new_cache = forward_hidden(cfg, params, tokens, cache, start, rope)
+    logits = lm_logits(cfg, params, hidden)  # [B, K+1, V]
+    model_tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    match = (model_tok[:, :-1] == tokens[:, 1:]).astype(jnp.int32)
+    n_accept = jnp.cumprod(match, axis=1).sum(axis=1)
+    new_cache = dataclasses.replace(new_cache, lengths=start + n_accept + 1)
+    return model_tok, n_accept, new_cache
+
+
+def ngram_propose(history: list, n: int, k: int, pad: int = 0) -> list:
+    """Prompt-lookup draft: continuation of the most recent earlier
+    occurrence of the trailing ``n``-gram of ``history``; ``pad``-filled to
+    exactly ``k`` tokens (the verify forward is fixed-shape — unmatched
+    pads are simply rejected)."""
+    if len(history) > n:
+        tail = history[-n:]
+        for i in range(len(history) - n - 1, -1, -1):
+            if history[i : i + n] == tail:
+                cont = history[i + n : i + n + k]
+                return cont + [pad] * (k - len(cont))
+    return [pad] * k
+
+
 @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(3, 5))
 def _decode_step(cfg, params, rope, cache, tokens, recent, sp, key):
     """One batched decode step: ``tokens [B]`` -> sampled next tokens ``[B]``."""
@@ -203,6 +243,12 @@ class CausalLM:
         return _decode_step(self.config, self.params, self.rope, cache,
                             jnp.asarray(tokens, jnp.int32), recent, sp, key)
 
+    def verify_step(self, cache, tokens):
+        return _verify_step(
+            self.config, self.params, self.rope, cache,
+            jnp.asarray(tokens, jnp.int32),
+        )
+
     def decode_steps(self, cache, tokens, recent, sp: SamplingParams, key, n_steps: int):
         return _decode_steps(self.config, self.params, self.rope, cache,
                              jnp.asarray(tokens, jnp.int32), recent, sp, key, n_steps)
@@ -216,8 +262,14 @@ class CausalLM:
     ) -> list[int]:
         gen = gen or GenerationConfig()
         eos = set(gen.eos_token_ids) | set(self.eos_token_ids)
+        # speculative decoding is exact only for greedy, penalty-free configs
+        use_spec = (
+            gen.speculative == "ngram"
+            and not gen.do_sample
+            and gen.repetition_penalty == 1.0
+        )
         prompt_len = len(input_ids)
-        total = prompt_len + gen.max_new_tokens
+        total = prompt_len + gen.max_new_tokens + (gen.spec_k + 1 if use_spec else 0)
         max_seq = bucket_length(total, floor=256)
         cache = self.init_cache(1, max_seq, quant_bits=gen.kv_quant_bits)
 
@@ -259,20 +311,31 @@ class CausalLM:
         )
         t1 = time.perf_counter()
         cur = first
+        history = list(input_ids) + out
         while not stopped and len(out) < gen.max_new_tokens:
-            key, sub = jax.random.split(key)
-            toks, cache, recent = self.decode_steps(
-                cache, cur, recent, sp, sub, block
-            )
-            for t in np.asarray(toks[0]).tolist():
+            if use_spec:
+                # prompt-lookup speculative step: K drafts verified in one
+                # forward; emits 1..K+1 tokens for one weight-HBM pass
+                drafts = ngram_propose(history, gen.spec_ngram, gen.spec_k)
+                toks_in = np.asarray([[history[-1]] + drafts], np.int32)
+                model_tok, n_acc, cache = self.verify_step(cache, toks_in)
+                emitted = np.asarray(model_tok[0, : int(n_acc[0]) + 1]).tolist()
+            else:
+                key, sub = jax.random.split(key)
+                toks, cache, recent = self.decode_steps(
+                    cache, cur, recent, sp, sub, block
+                )
+                emitted = np.asarray(toks[0]).tolist()
+                cur = toks[:, -1]
+            for t in emitted:
                 out.append(t)
+                history.append(t)
                 if streamer is not None and streamer.append(t) is False:
                     stopped = True
                     break
                 if t in eos or len(out) >= gen.max_new_tokens:
                     stopped = True
                     break
-            cur = toks[:, -1]
         out = out[: gen.max_new_tokens]
         t_decode = time.perf_counter() - t1
 

@@ -61,12 +61,14 @@ class LayerKVCache:
             k = jax.lax.dynamic_update_slice(self.k, k_new.astype(self.k.dtype), (r, positions, 0, 0))
             v = jax.lax.dynamic_update_slice(self.v, v_new.astype(self.v.dtype), (r, positions, 0, 0))
             return LayerKVCache(k=k, v=v)
-        assert positions.ndim == 1 and k_new.shape[1] == 1, (
-            "per-row positions require S_new == 1 (batched decode)"
-        )
+        assert positions.ndim == 1, positions.shape
+        # per-row starts; S_new == 1 is batched decode, S_new > 1 is the
+        # speculative verify write (K+1 tokens per row)
+        s = k_new.shape[1]
         b = jnp.arange(k_new.shape[0])[:, None]
-        k = self.k.at[b, positions[:, None]].set(k_new.astype(self.k.dtype), mode="drop")
-        v = self.v.at[b, positions[:, None]].set(v_new.astype(self.v.dtype), mode="drop")
+        idx = positions[:, None] + jnp.arange(s, dtype=jnp.int32)[None, :]
+        k = self.k.at[b, idx].set(k_new.astype(self.k.dtype), mode="drop")
+        v = self.v.at[b, idx].set(v_new.astype(self.v.dtype), mode="drop")
         return LayerKVCache(k=k, v=v)
 
 
@@ -178,18 +180,21 @@ class QuantLayerKVCache:
                 v_scale=jax.lax.dynamic_update_slice(self.v_scale, vs, sat),
                 bits=self.bits,
             )
-        assert positions.ndim == 1 and k_new.shape[1] == 1
-        B = k_new.shape[0]
+        assert positions.ndim == 1, positions.shape
+        # per-row starts; S == 1 is batched decode, S > 1 the speculative
+        # verify write
+        B, S = k_new.shape[0], k_new.shape[1]
         H = self.k.shape[2]
         b = jnp.arange(B)[:, None]
-        p = positions[:, None]
-        bh = jnp.arange(B)[:, None]
-        hh = jnp.arange(H)[None, :]
+        p = positions[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
+        bh = jnp.arange(B)[:, None, None]
+        hh = jnp.arange(H)[None, :, None]
+        ph = p[:, None, :]  # [B, 1, S] broadcast over heads
         return QuantLayerKVCache(
             k=self.k.at[b, p].set(kq, mode="drop"),
             v=self.v.at[b, p].set(vq, mode="drop"),
-            k_scale=self.k_scale.at[bh, hh, p].set(ks[:, :, 0], mode="drop"),
-            v_scale=self.v_scale.at[bh, hh, p].set(vs[:, :, 0], mode="drop"),
+            k_scale=self.k_scale.at[bh, hh, ph].set(ks, mode="drop"),
+            v_scale=self.v_scale.at[bh, hh, ph].set(vs, mode="drop"),
             bits=self.bits,
         )
 
