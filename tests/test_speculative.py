@@ -79,3 +79,12 @@ class TestSpeculativeGenerate:
         spec = lm.generate(prompt, GenerationConfig.greedy(
             16, eos_token_ids=(eos,), speculative="ngram"))
         assert spec == plain
+
+    def test_speculative_with_quantized_kv(self, lm):
+        """Verify writes K+1 tokens per row into the QUANT cache (codes +
+        scale planes) — must match plain greedy on the same quant config."""
+        prompt = [3, 14, 15, 92, 6, 53]
+        plain = lm.generate(prompt, GenerationConfig.greedy(16, kv_quant_bits=8))
+        spec = lm.generate(prompt, GenerationConfig.greedy(
+            16, kv_quant_bits=8, speculative="ngram"))
+        assert spec == plain
