@@ -101,12 +101,16 @@ def _encode_images(vcfg, tokens_per_image, vparams, pixels):
 
 
 @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(3,))
-def _vl_prefill(cfg, params, rope, cache, embeds, extra_mask, true_length):
+def _vl_prefill(cfg, params, rope, cache, embeds, extra_mask, true_length,
+                segments=None):
     tokens = jnp.zeros(embeds.shape[:2], jnp.int32)
+    # fresh prefill (read_cache=False): in-context K/V attention makes the
+    # flash kernel eligible; segments carry the image-block bidirectional
+    # mask into it (extra_mask stays for the XLA path at small S)
     hidden, new_cache = forward_hidden(
         cfg, params, tokens, cache, jnp.asarray(0, jnp.int32), rope,
         inputs_embeds=embeds, true_lengths=true_length[None],
-        extra_mask=extra_mask,
+        extra_mask=extra_mask, segments=segments, read_cache=False,
     )
     new_cache = dataclasses.replace(
         new_cache, lengths=jnp.full_like(cache.lengths, true_length)
@@ -202,16 +206,19 @@ class Gemma3VLModel:
         embeds = jnp.pad(embeds, ((0, 0), (0, s_bucket - S), (0, 0)))
         # bidirectional attention within each contiguous image block
         m = np.zeros((s_bucket, s_bucket), bool)
+        seg = np.zeros((s_bucket,), np.int32)
         if img_mask.any():
             group = np.cumsum(~img_mask)  # constant within an image run
             gm = img_mask[:, None] & img_mask[None, :] & (group[:, None] == group[None, :])
             m[:S, :S] = gm
+            seg[:S] = np.where(img_mask, group + 1, 0)
         extra = jnp.asarray(m)[None]
+        segments = jnp.asarray(seg)[None]
 
         cache = make_cache(cfg, 1, bucket_length(S + gen.max_new_tokens, floor=256), self.dtype)
         logits, cache = _vl_prefill(
             cfg, self.params, self.rope, cache, embeds, extra,
-            jnp.asarray(S, jnp.int32),
+            jnp.asarray(S, jnp.int32), segments,
         )
         tok = int(jnp.argmax(logits, -1)[0])
         out = []

@@ -302,8 +302,13 @@ def attention_block(
     cache_row=None,
     use_local_rope: bool = False,
     extra_mask=None,
+    segments=None,
 ):
     """GQA attention with QK-norm, RoPE, KV-cache append, optional out-gate.
+
+    ``segments [B, S]``: when the caller's ``extra_mask`` is EXACTLY the
+    same-positive-segment bidirectional mask (Gemma3-VLM image blocks), it
+    also passes this compact form so fresh prefills stay flash-eligible.
 
     x: ``[B, S, E]``; positions ``[B, S]``; cache_positions scalar or ``[B]``
     (see LayerKVCache.update). Returns (out ``[B, S, E]``, new_layer_cache).
@@ -406,7 +411,7 @@ def attention_block(
 
     use_flash = (
         not read_cache  # fresh prefill: positions 0..S-1, S == T
-        and extra_mask is None
+        and (extra_mask is None or segments is not None)
         and S >= 256
         and D % 128 == 0
         and jax.default_backend() == "tpu"
@@ -416,7 +421,7 @@ def attention_block(
         from crane_tpu.ops.pallas.flash_attention import flash_attention_causal
 
         out = flash_attention_causal(
-            q, kc, vc, scale=scale, window=window,
+            q, kc, vc, segments, scale=scale, window=window,
             softcap=cfg.attn_logit_softcap,
         )
     else:
@@ -483,6 +488,7 @@ def decoder_layer(
     active: jax.Array | None = None,
     true_lengths: jax.Array | None = None,
     extra_mask=None,
+    segments=None,
 ):
     ltype = cfg.layer_type(layer_idx)
     h = rms_norm(x, p["input_ln"], eps=cfg.rms_norm_eps, weight_offset=cfg.norm_weight_offset)
@@ -510,7 +516,7 @@ def decoder_layer(
             cfg, p["attn"], h, layer_cache, positions, cache_positions, rope,
             window=window, read_cache=read_cache, cache_row=cache_row,
             use_local_rope=(ltype == "sliding" and cfg.rope_local_theta is not None),
-            extra_mask=extra_mask,
+            extra_mask=extra_mask, segments=segments,
         )
     nrm = lambda t, w: rms_norm(t, w, eps=cfg.rms_norm_eps, weight_offset=cfg.norm_weight_offset)
     if cfg.sandwich_norms:
@@ -541,6 +547,7 @@ def forward_hidden(
     rope_embeds: dict | None = None,
     deepstack: tuple | None = None,
     extra_mask: jax.Array | None = None,
+    segments: jax.Array | None = None,
 ) -> tuple[jax.Array, KVCache]:
     """Token ids ``[B, S]`` -> final hidden states ``[B, S, E]`` + new cache.
 
@@ -588,6 +595,7 @@ def forward_hidden(
             positions, write_pos, rope_embeds, layer_idx=i,
             read_cache=read_cache, cache_row=cache_row, active=active,
             true_lengths=true_lengths, extra_mask=extra_mask,
+            segments=segments,
         )
         if deepstack is not None and i < deepstack[1].shape[0]:
             mask, embeds = deepstack

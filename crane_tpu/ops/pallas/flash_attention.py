@@ -27,8 +27,12 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale,
-                  block_q, block_k, window, softcap):
+def _flash_kernel(*refs, scale, block_q, block_k, window, softcap, segmented):
+    if segmented:
+        (q_ref, k_ref, v_ref, qs_ref, ks_ref, o_ref,
+         m_scr, l_scr, acc_scr) = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr = refs
     i = pl.program_id(2)
     j = pl.program_id(3)
     nj = pl.num_programs(3)
@@ -48,6 +52,13 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale,
     relevant = kv_start <= q_start + block_q - 1
     if window is not None:
         relevant &= kv_start + block_k - 1 > q_start - window
+    if segmented:
+        # bidirectional same-segment pairs (id > 0) resurrect blocks the
+        # causal/window tests would skip — data-dependent predicate
+        qs = qs_ref[0][:, None]  # [Bq, 1]
+        ks = ks_ref[0][None, :]  # [1, Bk]
+        same_seg = (qs == ks) & (qs > 0)
+        relevant |= jnp.any(same_seg)
 
     @pl.when(relevant)
     def _():
@@ -64,6 +75,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale,
         mask = qi >= kj
         if window is not None:
             mask &= kj > qi - window
+        if segmented:
+            # (causal & window) | same-segment — matches gqa_attention's
+            # extra_mask OR (image blocks bidirectional, Gemma3 VLM)
+            mask |= same_seg
         s = jnp.where(mask, s, _NEG_INF)
 
         m_prev = m_scr[:, :1]  # [Bq, 1]
@@ -91,6 +106,7 @@ def flash_attention_causal(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
+    segments: jax.Array | None = None,
     *,
     scale: float,
     block_q: int = 256,
@@ -106,7 +122,10 @@ def flash_attention_causal(
     ``kj <= qi - window`` are masked (Gemma3 sliding layers) AND their
     blocks are skipped entirely — windowed prefill is O(S * window) compute.
     ``softcap``: Gemma2-style ``softcap * tanh(s / softcap)`` on the scaled
-    logits.
+    logits. ``segments [B, S]`` int32: tokens with equal POSITIVE ids attend
+    bidirectionally (Gemma3-VLM image blocks; 0 = causal-only text); the
+    final mask is ``(causal & window) | same_segment``, and above-diagonal
+    blocks are only fetched when a segment actually spans them.
 
     Default blocks tuned on one v5e (Hq=16/Hkv=8/D=128, median-of-3 chain
     timing at S=4096): (256, 512) runs 0.97 ms vs 2.70 ms for (256, 256) —
@@ -136,19 +155,32 @@ def flash_attention_causal(
 
     kernel = functools.partial(
         _flash_kernel, scale=scale, block_q=block_q, block_k=block_k,
-        window=window, softcap=softcap,
+        window=window, softcap=softcap, segmented=segments is not None,
     )
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h // G, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h // G, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [qt, kt, vt]
+    if segments is not None:
+        seg = segments.astype(jnp.int32)
+        seg_q = jnp.pad(seg, ((0, 0), (0, pad_q))) if pad_q else seg
+        seg_k = jnp.pad(seg, ((0, 0), (0, pad_k))) if pad_k else seg
+        in_specs += [
+            pl.BlockSpec((1, block_q), lambda b, h, i, j: (b, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k), lambda b, h, i, j: (b, j),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [seg_q, seg_k]
     out = pl.pallas_call(
         kernel,
         grid=(B, Hq, Sq // block_q, Sk // block_k),
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h // G, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h // G, j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0),
             memory_space=pltpu.VMEM,
@@ -165,6 +197,6 @@ def flash_attention_causal(
             transcendentals=int(B * Hq * Sq * Sk // 2),
         ),
         interpret=interpret,
-    )(qt, kt, vt)
+    )(*operands)
 
     return out[:, :, :S].transpose(0, 2, 1, 3)

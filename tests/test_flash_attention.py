@@ -81,3 +81,62 @@ def test_windowed_softcap_combined():
         interpret=True,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+# ── segments: bidirectional same-id blocks (Gemma3-VLM image runs) ──────────
+
+
+def _seg_extra_mask(seg):
+    """[B, S] int32 -> extra_mask [B, S, S]: same positive id attends
+    bidirectionally (gemma3_vl.py's image-block mask)."""
+    same = seg[:, :, None] == seg[:, None, :]
+    pos = seg[:, :, None] > 0
+    return same & pos
+
+
+@pytest.mark.parametrize("window,softcap", [(None, None), (24, None),
+                                            (None, 25.0)])
+def test_segments_match_extra_mask_path(window, softcap):
+    B, S, Hq, Hkv, D = 1, 96, 4, 2, 32
+    q, k, v = rng(B, S, Hq, D, seed=11), rng(B, S, Hkv, D, seed=12), rng(B, S, Hkv, D, seed=13)
+    seg = np.zeros((B, S), np.int32)
+    seg[0, 10:42] = 1   # one image run spanning block boundaries
+    seg[0, 60:75] = 2   # second image
+    seg = jnp.asarray(seg)
+    pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
+    ref = gqa_attention(
+        q, k, v, pos, scale=D ** -0.5, window=window, logit_softcap=softcap,
+        extra_mask=_seg_extra_mask(seg),
+    )
+    got = flash_attention_causal(
+        q, k, v, seg, scale=D ** -0.5, block_q=16, block_k=16,
+        window=window, softcap=softcap, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_segments_above_diagonal_blocks_not_skipped():
+    """An image run far above the causal diagonal of its queries must still
+    be attended (the data-dependent block-skip predicate)."""
+    B, S, Hq, Hkv, D = 1, 128, 2, 2, 16
+    q, k, v = rng(B, S, Hq, D, seed=14), rng(B, S, Hkv, D, seed=15), rng(B, S, Hkv, D, seed=16)
+    seg = np.zeros((B, S), np.int32)
+    seg[0, 8:120] = 3  # one run spanning nearly everything
+    seg = jnp.asarray(seg)
+    pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
+    ref = gqa_attention(q, k, v, pos, scale=0.25, extra_mask=_seg_extra_mask(seg))
+    got = flash_attention_causal(
+        q, k, v, seg, scale=0.25, block_q=16, block_k=16, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_no_segments_unchanged():
+    B, S, Hq, Hkv, D = 1, 64, 4, 2, 32
+    q, k, v = rng(B, S, Hq, D, seed=17), rng(B, S, Hkv, D, seed=18), rng(B, S, Hkv, D, seed=19)
+    a = flash_attention_causal(q, k, v, scale=D ** -0.5, block_q=16,
+                               block_k=16, interpret=True)
+    z = flash_attention_causal(q, k, v, jnp.zeros((B, S), jnp.int32),
+                               scale=D ** -0.5, block_q=16, block_k=16,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(z), rtol=1e-6, atol=1e-6)

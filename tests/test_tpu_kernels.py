@@ -99,6 +99,30 @@ def test_quant_decode_attention_vs_xla_on_chip(bits):
     )
 
 
+def test_flash_segments_vs_xla_on_chip():
+    """Segmented (VLM image-block) flash attention lowers through Mosaic and
+    matches the XLA extra-mask path."""
+    from crane_tpu.ops.attention import gqa_attention
+    from crane_tpu.ops.pallas.flash_attention import flash_attention_causal
+
+    B, S, Hq, Hkv, D = 1, 1024, 8, 4, 128
+    q = rng(B, S, Hq, D, seed=21)
+    k = rng(B, S, Hkv, D, seed=22)
+    v = rng(B, S, Hkv, D, seed=23)
+    seg = np.zeros((B, S), np.int32)
+    seg[0, 100:356] = 1
+    seg[0, 600:728] = 2
+    segj = jnp.asarray(seg)
+    pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
+    extra = jnp.asarray((seg[:, :, None] == seg[:, None, :]) & (seg[:, :, None] > 0))
+    ref = gqa_attention(q, k, v, pos, scale=D ** -0.5, extra_mask=extra)
+    got = flash_attention_causal(q, k, v, segj, scale=D ** -0.5)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        rtol=5e-2, atol=5e-2,
+    )
+
+
 def test_fp_decode_attention_vs_xla_on_chip():
     """bits=16 mode: same kernel, bf16 cache, live-length block clamp."""
     from crane_tpu.ops.kv_cache import LayerKVCache
