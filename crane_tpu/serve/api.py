@@ -721,6 +721,9 @@ def build_app(server: Server) -> web.Application:
 
 
 def main(argv=None):
+    from crane_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     import argparse
 
     import jax.numpy as jnp
