@@ -548,6 +548,7 @@ def forward_hidden(
     deepstack: tuple | None = None,
     extra_mask: jax.Array | None = None,
     segments: jax.Array | None = None,
+    remat: bool = False,
 ) -> tuple[jax.Array, KVCache]:
     """Token ids ``[B, S]`` -> final hidden states ``[B, S, E]`` + new cache.
 
@@ -590,13 +591,21 @@ def forward_hidden(
 
     new_layers = list(cache.layers)
     for i in range(cfg.num_layers):
-        x, new_layers[i] = decoder_layer(
-            cfg, params["layers"][i], x, cache.layers[i],
-            positions, write_pos, rope_embeds, layer_idx=i,
-            read_cache=read_cache, cache_row=cache_row, active=active,
-            true_lengths=true_lengths, extra_mask=extra_mask,
-            segments=segments,
-        )
+        def layer_fn(p, x, lc, *, _i=i):
+            return decoder_layer(
+                cfg, p, x, lc,
+                positions, write_pos, rope_embeds, layer_idx=_i,
+                read_cache=read_cache, cache_row=cache_row, active=active,
+                true_lengths=true_lengths, extra_mask=extra_mask,
+                segments=segments,
+            )
+        if remat:
+            # training: recompute each layer's activations in the backward
+            # pass instead of saving them — activation memory drops from
+            # O(layers * S * E) to O(S * E) per stored boundary, the
+            # standard HBM-for-FLOPs trade on TPU (jax.checkpoint)
+            layer_fn = jax.checkpoint(layer_fn)
+        x, new_layers[i] = layer_fn(params["layers"][i], x, cache.layers[i])
         if deepstack is not None and i < deepstack[1].shape[0]:
             mask, embeds = deepstack
             # add visual features at the visual positions (VLM prefill;

@@ -23,12 +23,19 @@ from crane_tpu.models.modules.transformer import (
 from crane_tpu.ops.kv_cache import KVCache
 
 
-def next_token_loss(cfg: TransformerConfig, params: dict, rope: dict, tokens: jax.Array) -> jax.Array:
+def next_token_loss(
+    cfg: TransformerConfig, params: dict, rope: dict, tokens: jax.Array,
+    *, remat: bool = True,
+) -> jax.Array:
     B, S = tokens.shape
     cache = KVCache.empty(
         cfg.num_layers, B, S, cfg.num_kv_heads, cfg.head_dim, jnp.float32
     )
-    hidden, _ = forward_hidden(cfg, params, tokens, cache, jnp.asarray(0, jnp.int32), rope)
+    # remat: per-layer jax.checkpoint — activation HBM stays O(one layer)
+    hidden, _ = forward_hidden(
+        cfg, params, tokens, cache, jnp.asarray(0, jnp.int32), rope,
+        remat=remat,
+    )
     logits = lm_logits(cfg, params, hidden)  # [B, S, V] f32
     logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
     tgt = tokens[:, 1:]

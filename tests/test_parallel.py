@@ -203,3 +203,22 @@ def test_tp_engine_serving_matches_single_device(setup):
             if r.token is not None:
                 toks.append(r.token)
         assert toks == exp
+
+
+def test_remat_gradients_match(setup):
+    """Per-layer jax.checkpoint changes memory, not math: loss and grads
+    must be identical with and without rematerialization."""
+    from crane_tpu.parallel.train import next_token_loss
+
+    cfg, _, rope = setup
+    params = init_params(cfg, seed=2, dtype=jnp.float32)
+    tokens = jnp.asarray(np.arange(16, dtype=np.int32).reshape(1, 16) % cfg.vocab_size)
+    f_plain = lambda p: next_token_loss(cfg, p, rope, tokens, remat=False)
+    f_remat = lambda p: next_token_loss(cfg, p, rope, tokens, remat=True)
+    l1, g1 = jax.value_and_grad(f_plain)(params)
+    l2, g2 = jax.value_and_grad(f_remat)(params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+        g1, g2,
+    )
