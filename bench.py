@@ -28,7 +28,7 @@ Modes (``--mode``):
                     reference's long-context capability: int4 KV at 0.31x
                     fp16 bytes, README.md:374-383).
   serve             aggregate tok/s of the engine's masked batched decode
-                    at 1/8/16 slots (continuous-batching inner loop);
+                    at 1 and 8 slots (continuous-batching inner loop);
                     vs_baseline = aggregate over single-stream.
 
 All weights are randomly initialized at the real architecture shapes
@@ -429,7 +429,7 @@ def bench_asr() -> None:
 def bench_serve() -> None:
     """Aggregate decode throughput of the serving inner loop: all slots
     active, masked batched decode in blocks (the engine's _decode_block),
-    at 8 and 16 slots. vs_baseline = aggregate / single-stream rate."""
+    at 1 and 8 slots. vs_baseline = aggregate / single-stream rate."""
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -395,7 +395,9 @@ def attention_block(
             q, *kv_args, positions[:, 0] + 1,
             bits=bits, scale=scale, window=window,
             logit_softcap=cfg.attn_logit_softcap,
-            block_t=min(512, max_t),
+            # largest kernel block that divides the buffer (eligibility
+            # guarantees max_t % 256 == 0, but not % 512 — e.g. 768)
+            block_t=512 if max_t % 512 == 0 else 256,
         )
         if gate is not None:
             out = out * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(out.dtype)

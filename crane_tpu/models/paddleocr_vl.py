@@ -206,9 +206,17 @@ class PaddleOcrVL:
     def recognize(self, image: np.ndarray, *, task: str = "ocr",
                   prompt: Optional[str] = None, max_new_tokens: int = 1024) -> str:
         """Full image -> text OCR (greedy, reference generate_stream)."""
+        return "".join(self.recognize_stream(
+            image, task=task, prompt=prompt, max_new_tokens=max_new_tokens
+        )).strip()
+
+    def recognize_stream(self, image, *, task: str = "ocr", prompt=None,
+                         max_new_tokens: int = 1024):
+        """Greedy decode, yielding detokenized text pieces as they emerge."""
         from crane_tpu.models.qwen3_asr import _asr_decode_step, _asr_prefill
         from crane_tpu.utils.buckets import bucket_length
         from crane_tpu.models.modules.transformer import make_cache
+        from crane_tpu.tokenizer.token_stream import TokenOutputStream
 
         feats, n = self.encode_image(image)
         ids = np.asarray(self.build_prompt_ids(n, task, prompt), np.int32)
@@ -229,24 +237,20 @@ class PaddleOcrVL:
         )
         cur = jnp.argmax(logits, -1).astype(jnp.int32)
         eos = set(self.lm.eos_token_ids)
-        out = []
+        detok = TokenOutputStream(self.lm.tokenizer)
         for _ in range(max_new_tokens):
             t = int(cur[0])
             if t in eos:
                 break
-            out.append(t)
+            piece = detok.next_token(t)
+            if piece:
+                yield piece
             cur, cache = _asr_decode_step(
                 self.lm.config, self.lm.params, self.lm.rope, cache, cur
             )
-        return self.lm.tokenizer.decode(out).strip()
-
-    def recognize_stream(self, image, *, task: str = "ocr", prompt=None,
-                         max_new_tokens: int = 1024):
-        """Streaming variant: yields detokenized pieces."""
-        from crane_tpu.tokenizer.token_stream import TokenStream
-
-        text = self.recognize(image, task=task, prompt=prompt, max_new_tokens=max_new_tokens)
-        yield text
+        rest = detok.decode_rest()
+        if rest:
+            yield rest
 
 
 def _pick(sd: dict, *names: str):

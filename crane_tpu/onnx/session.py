@@ -218,6 +218,15 @@ def _mean_reducer(cols):
 # ── recurrent cells ─────────────────────────────────────────────────────────
 
 
+def _concat(ins, axis):
+    """Drop omitted ('') inputs and zero-size operands (whose non-axis dims
+    may legally mismatch, e.g. out of Loop/If branches) — unless everything
+    is empty, in which case concatenate the empties as-is."""
+    ops = [np.asarray(i) for i in ins if i is not None]
+    nonempty = [o for o in ops if o.size]
+    return np.concatenate(nonempty or ops, axis=axis)
+
+
 def _sigmoid(x):
     return 1.0 / (1.0 + np.exp(-x))
 
@@ -538,9 +547,7 @@ class Session:
                 int(np.prod(x.shape[: a.get("axis", 1)] or (1,))), -1
             ),
             "Transpose": lambda: np.transpose(x, a.get("perm")),
-            "Concat": lambda: np.concatenate(
-                [i for i in ins if i is not None and np.asarray(i).size or True], axis=a["axis"]
-            ),
+            "Concat": lambda: _concat(ins, a["axis"]),
             "Expand": lambda: x * np.ones(
                 np.broadcast_shapes(x.shape, tuple(np.asarray(ins[1], np.int64))),
                 dtype=x.dtype,

@@ -112,8 +112,12 @@ def parse_tensor(buf: bytes) -> tuple[str, np.ndarray]:
         arr = np.frombuffer(b"".join(f[10]), dtype=np.float64)
     elif 7 in f:  # int64_data
         arr = np.asarray(_packed_varints(f[7]), np.int64)
-    elif 5 in f:  # int32_data (also carries small int types)
-        arr = np.asarray(_packed_varints(f[5]), np.int64).astype(np_dt)
+    elif 5 in f:  # int32_data (also carries small int types + fp16)
+        ints = np.asarray(_packed_varints(f[5]), np.int64)
+        if dt == 10:  # float16 rides as raw uint16 bit patterns, not values
+            arr = ints.astype(np.uint16).view(np.float16)
+        else:
+            arr = ints.astype(np_dt)
     else:
         arr = np.zeros(0, np_dt)
     n = int(np.prod(dims)) if dims else arr.size

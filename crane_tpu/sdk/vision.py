@@ -72,6 +72,11 @@ class OcrClient:
         from crane_tpu.generation.streamer import AsyncTextStreamer
         import threading
 
+        if hasattr(self.vlm, "recognize_stream"):  # PaddleOCR-VL native API
+            yield from self.vlm.recognize_stream(
+                image, task=task, max_new_tokens=self.max_new_tokens
+            )
+            return
         ids, images = self._prompt_ids(image, TASK_PROMPTS[task])
         st = AsyncTextStreamer(self.vlm.tokenizer)
         t = threading.Thread(

@@ -16,6 +16,7 @@ reference's tokio + dedicated OS thread design.
 from __future__ import annotations
 
 import asyncio
+import threading
 import json
 import logging
 import time
@@ -307,10 +308,16 @@ class Server:
             )
             await resp.prepare(request)
             q: asyncio.Queue = asyncio.Queue()
+            cancelled = threading.Event()
 
             def produce():
                 try:
                     for chunk in self.tts.generate_speech_stream(text, opts):
+                        if cancelled.is_set():
+                            # client gone: stop synthesizing so the
+                            # serialized TTS executor frees up (reference
+                            # drops the stream on disconnect)
+                            return
                         loop.call_soon_threadsafe(
                             q.put_nowait, f32_to_i16(chunk).tobytes()
                         )
@@ -320,12 +327,18 @@ class Server:
                     loop.call_soon_threadsafe(q.put_nowait, None)
 
             fut = loop.run_in_executor(self._tts_pool, produce)
-            while True:
-                b = await q.get()
-                if b is None:
-                    break
-                await resp.write(b)
-            await fut
+            try:
+                while True:
+                    b = await q.get()
+                    if b is None:
+                        break
+                    await resp.write(b)
+            except (ConnectionResetError, asyncio.CancelledError):
+                cancelled.set()
+                raise
+            finally:
+                cancelled.set()
+                await asyncio.shield(fut)
             await resp.write_eof()
             return resp
         try:

@@ -187,10 +187,9 @@ class Phonemizer:
             self._seed = {}
 
     def _lookup(self, word: str) -> Optional[str]:
-        if hasattr(self.lexicon, "get_all"):  # Lexicon: first alternative
-            hit = self.lexicon.get(word)
-        else:
-            hit = self.lexicon.get(word)
+        # works for plain dicts and Lexicon alike (Lexicon.get returns the
+        # lexicographically-first alternative; get_all for heteronym access)
+        hit = self.lexicon.get(word)
         if hit is not None:
             return hit
         return self._seed.get(word)

@@ -411,3 +411,42 @@ def test_input_specs_dtype_and_shape(tmp_path):
     dt, sh = g.input_specs["x"]
     assert dt == np.float32
     assert sh == (-1, 8)  # symbolic batch dim
+
+
+def test_fp16_int32_data_bitcast():
+    """float16 initializers serialized via int32_data carry raw uint16 bit
+    patterns — decode must reinterpret, not numerically cast."""
+    from crane_tpu.onnx.wire import parse_tensor
+
+    def varint(v):
+        out = b""
+        while True:
+            b7 = v & 0x7F
+            v >>= 7
+            out += bytes([b7 | (0x80 if v else 0)])
+            if not v:
+                return out
+
+    # TensorProto: dims=[2] (field 1), data_type=10 fp16 (field 2),
+    # int32_data packed (field 5): bits of 1.0 (0x3C00) and -2.0 (0xC000)
+    payload = varint(0x3C00) + varint(0xC000)
+    buf = (
+        bytes([1 << 3]) + varint(2)
+        + bytes([2 << 3]) + varint(10)
+        + bytes([(5 << 3) | 2]) + varint(len(payload)) + payload
+        + bytes([(8 << 3) | 2]) + varint(1) + b"w"
+    )
+    name, arr = parse_tensor(buf)
+    assert name == "w" and arr.dtype == np.float16
+    np.testing.assert_array_equal(arr, np.asarray([1.0, -2.0], np.float16))
+
+
+def test_concat_drops_omitted_and_empty_inputs():
+    from crane_tpu.onnx.session import _concat
+
+    a = np.ones((2, 3), np.float32)
+    b = np.zeros((0, 7), np.float32)  # empty with mismatched non-axis dim
+    out = _concat([a, None, b, a], axis=0)
+    assert out.shape == (4, 3)
+    # all-empty stays a legal empty concat
+    assert _concat([b, b], axis=0).shape == (0, 7)

@@ -258,3 +258,21 @@ def test_factory_routes_paddleocr(tmp_path):
     d = _tiny_ocr_checkpoint(tmp_path)
     m = load_model(str(d))
     assert isinstance(m, PaddleOcrVL)
+
+
+def test_recognize_stream_yields_incrementally(tmp_path):
+    """recognize_stream must be a real token-by-token generator whose
+    concatenation equals recognize() (it used to import a non-existent
+    class and yield one blob)."""
+    from crane_tpu.models.paddleocr_vl import load_paddleocr_vl
+    from crane_tpu.sdk.vision import OcrClient
+
+    d = _tiny_ocr_checkpoint(tmp_path)
+    model = load_paddleocr_vl(str(d))
+    img = RNG.integers(0, 255, size=(290, 400, 3), dtype=np.uint8)
+    pieces = list(model.recognize_stream(img, task="ocr", max_new_tokens=6))
+    assert all(isinstance(p, str) for p in pieces)
+    assert "".join(pieces).strip() == model.recognize(img, task="ocr", max_new_tokens=6)
+    # and through the SDK client front (used to crash on missing attrs)
+    client = OcrClient(model, max_new_tokens=6)
+    assert "".join(client.recognize_stream(img)).strip() == client.recognize(img)

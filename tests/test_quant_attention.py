@@ -190,3 +190,15 @@ def test_fp_kernel_window_softcap_and_empty_row():
     assert np.all(np.isfinite(np.asarray(out)))
     np.testing.assert_array_equal(np.asarray(out[0]), 0.0)
     np.testing.assert_allclose(np.asarray(out[1]), np.asarray(ref[1]), atol=2e-5, rtol=1e-4)
+
+
+def test_block_t_256_on_non_512_multiple_buffer():
+    """A 768-slot cache (multiple of 256, not 512) must work with the
+    256 block the dispatch now selects (used to assert-crash at 512)."""
+    q, cache, lengths = _setup_fp(T=768)
+    out = quant_decode_attention(
+        q, cache.k, cache.v, None, None, lengths,
+        bits=16, scale=0.125, block_t=256, interpret=True,
+    )
+    ref = gqa_attention(q, cache.k, cache.v, (lengths - 1)[:, None], scale=0.125)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
