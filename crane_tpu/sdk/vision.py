@@ -92,3 +92,28 @@ class OcrClient:
         t.start()
         yield from st
         t.join()
+
+
+class VisionClient(OcrClient):
+    """Freeform image analysis over the VLM (reference
+    crane/src/vision/image_analysis.rs ``VisionClient`` — a placeholder
+    there returning "not fully implemented yet"; functional here: the
+    question becomes the task prompt on the same prompt/splice path the
+    OCR client uses)."""
+
+    DEFAULT_QUESTION = "Describe this image in detail."
+
+    def analyze(self, image, question: str | None = None) -> str:
+        return self.recognize(image, prompt=question or self.DEFAULT_QUESTION)
+
+    # reference method names (image_analysis.rs:20, :60)
+    analyze_image = analyze
+
+    def analyze_image_data(self, image_bytes: bytes, question: str | None = None) -> str:
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        img = np.asarray(Image.open(io.BytesIO(image_bytes)).convert("RGB"))
+        return self.analyze(img, question)

@@ -276,3 +276,17 @@ def test_recognize_stream_yields_incrementally(tmp_path):
     # and through the SDK client front (used to crash on missing attrs)
     client = OcrClient(model, max_new_tokens=6)
     assert "".join(client.recognize_stream(img)).strip() == client.recognize(img)
+
+
+def test_vision_client_analyze(tmp_path):
+    """Freeform VisionClient over the same backend: the question reaches the
+    prompt (different questions -> different prompt ids)."""
+    from crane_tpu.models.paddleocr_vl import load_paddleocr_vl
+    from crane_tpu.sdk.vision import VisionClient
+
+    d = _tiny_ocr_checkpoint(tmp_path)
+    client = VisionClient(load_paddleocr_vl(str(d)), max_new_tokens=4)
+    img = RNG.integers(0, 255, size=(290, 400, 3), dtype=np.uint8)
+    out = client.analyze(img, "What color is the square?")
+    assert isinstance(out, str)
+    assert client.analyze_image(img) == client.analyze(img)
