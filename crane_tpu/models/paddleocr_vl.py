@@ -213,7 +213,10 @@ class PaddleOcrVL:
     def recognize_stream(self, image, *, task: str = "ocr", prompt=None,
                          max_new_tokens: int = 1024):
         """Greedy decode, yielding detokenized text pieces as they emerge."""
-        from crane_tpu.models.qwen3_asr import _asr_decode_step, _asr_prefill
+        from crane_tpu.models.modules.embeds_decode import (
+            embeds_prefill as _asr_prefill,
+            greedy_decode_step as _asr_decode_step,
+        )
         from crane_tpu.utils.buckets import bucket_length
         from crane_tpu.models.modules.transformer import make_cache
         from crane_tpu.tokenizer.token_stream import TokenOutputStream

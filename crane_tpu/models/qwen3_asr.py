@@ -340,30 +340,12 @@ def _jit_aut_encode(cfg, p, mel, valid, mask):
     return aut_encode(cfg, p, mel, valid, mask)
 
 
-@_functools.partial(jax.jit, static_argnums=(0,))
-def _asr_prefill(cfg, params, rope, cache, embeds, true_length):
-    from crane_tpu.models.modules.transformer import forward_hidden, lm_logits
-
-    B, S, _ = embeds.shape
-    tokens = jnp.zeros((B, S), jnp.int32)
-    hidden, new_cache = forward_hidden(
-        cfg, params, tokens, cache, jnp.asarray(0, jnp.int32), rope,
-        inputs_embeds=embeds, true_lengths=jnp.asarray([true_length]),
-    )
-    last = jax.lax.dynamic_slice_in_dim(hidden, true_length - 1, 1, axis=1)
-    new_cache = dataclasses.replace(new_cache, lengths=jnp.asarray([true_length]))
-    return lm_logits(cfg, params, last)[:, 0], new_cache
-
-
-@_functools.partial(jax.jit, static_argnums=(0,))
-def _asr_decode_step(cfg, params, rope, cache, token):
-    from crane_tpu.models.modules.transformer import forward_hidden, lm_logits
-
-    hidden, new_cache = forward_hidden(
-        cfg, params, token[:, None], cache, cache.lengths, rope
-    )
-    logits = lm_logits(cfg, params, hidden)[:, 0]
-    return jnp.argmax(logits, -1).astype(jnp.int32), new_cache
+# prefill-from-embeds + greedy step live in the shared module now
+# (also used by PaddleOCR-VL); aliased for this file's call sites
+from crane_tpu.models.modules.embeds_decode import (  # noqa: E402
+    embeds_prefill as _asr_prefill,
+    greedy_decode_step as _asr_decode_step,
+)
 
 
 @_functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(4,))

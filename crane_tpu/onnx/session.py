@@ -246,13 +246,20 @@ def _lstm_direction(x, w, r, b, h0, c0, seq_lens=None, reverse=False):
         o = _sigmoid(g[:, H : 2 * H])
         f = _sigmoid(g[:, 2 * H : 3 * H])
         ct = np.tanh(g[:, 3 * H :])
-        c = f * c + i * ct
-        h = o * np.tanh(c)
+        c_new = f * c + i * ct
+        h_new = o * np.tanh(c_new)
         if seq_lens is not None:
+            # rows past their length FREEZE state (so the returned h/c is
+            # the last valid step's — and for the reverse direction the
+            # frozen h0 makes the recurrence effectively start at len-1)
+            # while their Y output is zero, per the ONNX spec
             alive = (t < seq_lens)[:, None]
-            h = np.where(alive, h, 0.0)
-            c = np.where(alive, c, c0)
-        ys[t] = h
+            h = np.where(alive, h_new, h)
+            c = np.where(alive, c_new, c)
+            ys[t] = np.where(alive, h_new, 0.0)
+        else:
+            h, c = h_new, c_new
+            ys[t] = h
     return ys, h, c
 
 
@@ -277,7 +284,7 @@ def op_lstm(node: Node, x, w, r, b=None, seq_lens=None, h0=None, c0=None):
     return Y, np.stack(hs), np.stack(cs)
 
 
-def _gru_direction(node, x, w, r, b, h0, reverse=False):
+def _gru_direction(node, x, w, r, b, h0, seq_lens=None, reverse=False):
     """ONNX gate order z, r, h."""
     T, B, _ = x.shape
     H = r.shape[1]
@@ -296,8 +303,14 @@ def _gru_direction(node, x, w, r, b, h0, reverse=False):
             hh = np.tanh(gx[t, :, 2 * H :] + rr * (gh[:, 2 * H :] + rb[2 * H :]))
         else:
             hh = np.tanh(gx[t, :, 2 * H :] + (rr * h) @ r[2 * H :].T + rb[2 * H :])
-        h = (1 - z) * hh + z * h
-        ys[t] = h
+        h_new = (1 - z) * hh + z * h
+        if seq_lens is not None:
+            alive = (t < seq_lens)[:, None]  # freeze state, zero Y (spec)
+            h = np.where(alive, h_new, h)
+            ys[t] = np.where(alive, h_new, 0.0)
+        else:
+            h = h_new
+            ys[t] = h
     return ys, h
 
 
@@ -311,7 +324,8 @@ def op_gru(node: Node, x, w, r, b=None, seq_lens=None, h0=None):
     for d in range(nd):
         rev = direction == "reverse" or d == 1
         y, h = _gru_direction(
-            node, x, w[d], r[d], b[d] if b is not None else None, h0[d], rev
+            node, x, w[d], r[d], b[d] if b is not None else None, h0[d],
+            seq_lens, reverse=rev,
         )
         ys.append(y)
         hs.append(h)
@@ -332,8 +346,14 @@ def op_rnn(node: Node, x, w, r, b=None, seq_lens=None, h0=None):
         y = np.zeros((T, B, H), x.dtype)
         steps = range(T - 1, -1, -1) if rev else range(T)
         for t in steps:
-            h = np.tanh(x[t] @ w[d].T + wb + h @ r[d].T + rb)
-            y[t] = h
+            h_new = np.tanh(x[t] @ w[d].T + wb + h @ r[d].T + rb)
+            if seq_lens is not None:
+                alive = (t < seq_lens)[:, None]  # freeze state, zero Y
+                h = np.where(alive, h_new, h)
+                y[t] = np.where(alive, h_new, 0.0)
+            else:
+                h = h_new
+                y[t] = h
         ys.append(y)
         hs.append(h)
     return np.stack(ys, axis=1), np.stack(hs)
@@ -682,8 +702,10 @@ class Session:
                 sizes = list(np.asarray(ins[1], np.int64))
             else:
                 n = a.get("num_outputs", len(node.outputs))
-                q, r = divmod(x.shape[axis], n)
-                sizes = [q + 1] * r + [q] * (n - r) if r else [q] * n
+                # spec: equal chunks of ceil(d/n), only the LAST is smaller
+                d = x.shape[axis]
+                q = -(-d // n)
+                sizes = [q] * (n - 1) + [d - q * (n - 1)]
             return tuple(np.split(x, np.cumsum(sizes)[:-1], axis=axis))
         if t == "Squeeze":
             axes = _axes(node, env, ins, 1)

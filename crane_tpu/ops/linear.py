@@ -134,11 +134,17 @@ def linear(x: jax.Array, w, b: jax.Array | None = None) -> jax.Array:
         if w.block == i:
             import os
 
+            # kernel blocks must divide the PACKED row count (I for int8,
+            # I/2 for packed int4 — e.g. hidden 1536 packs to 768) and the
+            # out dim; pick the largest block that fits, else fall back
+            ip = w.codes.shape[0]
+            bi = next((b for b in (512, 256, 128) if ip % b == 0), None)
+            bo = next((b for b in (512, 256, 128) if o % b == 0), None)
             pallas_ok = (
                 os.environ.get("CRANE_PALLAS_QUANT", "1" if w.packed else "0") == "1"
                 and jax.default_backend() == "tpu"
-                and i % 256 == 0
-                and o % 256 == 0
+                and bi is not None
+                and bo is not None
             )
             if pallas_ok:
                 from crane_tpu.ops.pallas.quant_matmul import quant_matmul
@@ -146,7 +152,7 @@ def linear(x: jax.Array, w, b: jax.Array | None = None) -> jax.Array:
                 x2 = x.reshape(-1, i)
                 y = quant_matmul(
                     x2, w.codes, w.scales.reshape(1, o), bits=w.bits,
-                    block_i=min(512, w.codes.shape[0]), block_o=min(512, o),
+                    block_i=min(bi, ip), block_o=min(bo, o),
                 )
                 y = y.reshape(*x.shape[:-1], o)
             elif os.environ.get("CRANE_W8A8") == "1" and w.bits == 8:

@@ -86,7 +86,8 @@ def _check_hbm_budget(lm, max_slots: int, max_seq_len: int, kv_quant_bits):
 
     weights = _tree_bytes(lm.params)
     cfg = lm.config
-    kv_elem_bytes = {8: 1, 4: 0.5}.get(kv_quant_bits, 2)
+    fp_bytes = jnp.dtype(lm.dtype).itemsize  # 4 under --dtype f32, not 2
+    kv_elem_bytes = {8: 1, 4: 0.5}.get(kv_quant_bits, fp_bytes)
     full_layers = getattr(cfg, "num_layers", 0)
     per_tok = full_layers * cfg.num_kv_heads * cfg.head_dim * 2
     kv = int(max_slots * max_seq_len * per_tok * kv_elem_bytes)
@@ -103,7 +104,7 @@ def _check_hbm_budget(lm, max_slots: int, max_seq_len: int, kv_quant_bits):
         raise RuntimeError(
             f"HBM budget exceeded: weights {weights / gib:.2f} GiB + KV "
             f"{kv / gib:.2f} GiB ({max_slots} slots x {max_seq_len} tokens x "
-            f"{full_layers} layers, {kv_quant_bits or 16}-bit) x 1.15 headroom "
+            f"{full_layers} layers, {kv_quant_bits or 8 * fp_bytes}-bit) x 1.15 headroom "
             f"= {need / gib:.2f} GiB > device limit {limit / gib:.2f} GiB. "
             f"Reduce --max-slots/--max-seq-len or use --kv-quant int8/int4."
         )
@@ -296,6 +297,12 @@ class InferenceEngine:
         victim.slot = -1
         victim.preempted = True
         self.scheduler.requeue(victim)
+        # the freed slot must go to the starved request this preemption was
+        # FOR — not to an earlier-requeued victim sitting at the queue head
+        # (that would evict another sequence next step for nothing)
+        if self.scheduler.waiting[0] is not head:
+            self.scheduler.waiting.remove(head)
+            self.scheduler.waiting.appendleft(head)
         self.stats.requests_preempted += 1
         log.info(
             "preempted %s (%d generated) for starved head %s (waited %.1fs)",

@@ -241,3 +241,27 @@ def test_hbm_budget_check_rejects_oversized_config(lm):
         InferenceEngine(lm, max_slots=4, max_seq_len=512)
     finally:
         del os.environ["CRANE_HBM_BYTES"]
+
+
+def test_preemption_admits_starved_request_not_requeued_victim(lm):
+    """When a preemption is triggered FOR a starved fresh request, the freed
+    slot must go to it — not to an earlier-requeued victim at the queue
+    head (which would cascade into a second pointless eviction)."""
+    engine = InferenceEngine(lm, max_slots=1, max_seq_len=128,
+                             decode_tokens_per_seq=2, preempt_after_s=0.0)
+    qa = engine.submit(greedy_request("a", [1, 2, 3], n=12))
+    for _ in range(3):
+        engine.step()
+    # b preempts a; a is requeued behind b
+    qb = engine.submit(greedy_request("b", [4, 5, 6], n=12))
+    for _ in range(3):
+        engine.step()
+    # c arrives while a (preempted) waits; preempting b for c must put c
+    # in FRONT of a, so exactly one more preemption happens
+    qc = engine.submit(greedy_request("c", [7, 8], n=4))
+    run_until_idle(engine)
+    for q in (qa, qb, qc):
+        toks, _ = collect(q)
+        assert toks
+    assert engine.stats.requests_preempted == 2
+    assert engine.stats.requests_completed == 3

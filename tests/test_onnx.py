@@ -450,3 +450,44 @@ def test_concat_drops_omitted_and_empty_inputs():
     assert out.shape == (4, 3)
     # all-empty stays a legal empty concat
     assert _concat([b, b], axis=0).shape == (0, 7)
+
+
+def test_split_num_outputs_remainder_last_chunk_smaller():
+    """ONNX spec: equal chunks of ceil(d/n); only the LAST chunk is smaller."""
+    from crane_tpu.onnx.session import Session
+    from crane_tpu.onnx.wire import Graph, Model, Node
+
+    g = Graph(
+        nodes=[Node(op_type="Split", inputs=["x"], outputs=["a", "b", "c"],
+                    name="s", attrs={"axis": 0, "num_outputs": 3})],
+        initializers={}, inputs=["x"], outputs=["a", "b", "c"],
+    )
+    outs = Session(Model(graph=g)).run({"x": np.arange(7, dtype=np.float32)})
+    assert [o.shape[0] for o in outs.values()] == [3, 3, 1]
+    np.testing.assert_array_equal(outs["c"], [6.0])
+
+
+@pytest.mark.parametrize("op", ["lstm", "gru", "rnn"])
+def test_recurrent_sequence_lens_mask(op):
+    """sequence_lens: Y past each row's length is zero and Y_h is the hidden
+    at the row's LAST VALID step — verified against per-row trimmed runs."""
+    from crane_tpu.onnx import session as S
+    from crane_tpu.onnx.wire import Node
+
+    rng_ = np.random.default_rng(0)
+    T, B, I, H = 6, 2, 3, 4
+    x = rng_.standard_normal((T, B, I)).astype(np.float32)
+    lens = np.asarray([3, 6], np.int64)
+    node = Node(op_type=op.upper(), inputs=[], outputs=["y", "yh", "yc"],
+                name="r", attrs={"hidden_size": H})
+    gmul = {"lstm": 4, "gru": 3, "rnn": 1}[op]
+    w = rng_.standard_normal((1, gmul * H, I)).astype(np.float32) * 0.5
+    r = rng_.standard_normal((1, gmul * H, H)).astype(np.float32) * 0.5
+    fn = {"lstm": S.op_lstm, "gru": S.op_gru, "rnn": S.op_rnn}[op]
+    got = fn(node, x, w, r, None, lens)
+    Y, Yh = got[0], got[1]
+    for b_i, L in enumerate(lens):
+        ref = fn(node, x[:L, b_i : b_i + 1], w, r, None, None)
+        np.testing.assert_allclose(Y[:L, 0, b_i], ref[0][:, 0, 0], rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(Y[L:, 0, b_i], 0.0)
+        np.testing.assert_allclose(Yh[0, b_i], ref[1][0, 0], rtol=1e-5, atol=1e-6)

@@ -113,3 +113,22 @@ def test_packed_int4_linear_matches_dequant():
     got = np.asarray(linear(x, qw), np.float32)
     ref = np.asarray(jnp.dot(x, qw.dequant(jnp.bfloat16)), np.float32)
     np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_int4_nonmultiple_of_512_hidden():
+    """hidden 1536 packs to 768 rows — the dispatch must pick a 256 block
+    (min(512, 768) used to fail the kernel's divisibility assert)."""
+    import numpy as np
+
+    from crane_tpu.ops.linear import quantize_weight
+    from crane_tpu.ops.pallas.quant_matmul import quant_matmul
+
+    rng = np.random.default_rng(0)
+    I, O = 1536, 512
+    w = jnp.asarray(rng.standard_normal((I, O)) * 0.05, jnp.float32)
+    q = quantize_weight(w, bits=4)
+    x = jnp.asarray(rng.standard_normal((1, I)), jnp.float32)
+    got = quant_matmul(x, q.codes, q.scales.reshape(1, O), bits=4,
+                       block_i=256, block_o=256, interpret=True)
+    ref = x @ q.dequant(jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2)
