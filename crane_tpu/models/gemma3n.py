@@ -175,11 +175,32 @@ def _attention(
     else:
         layer_cache = cache[src]  # KV sharing: read the source layer's buffer
 
-    out = gqa_attention(
-        q, layer_cache.k, layer_cache.v, positions,
-        scale=1.0,  # Gemma3n uses unit attention scaling (v is RMS-normed)
-        window=cfg.sliding_window if is_sliding else None,
+    window = cfg.sliding_window if is_sliding else None
+    T = layer_cache.k.shape[1]
+    use_fused = (
+        S == 1
+        and jax.default_backend() == "tpu"
+        and cfg.head_dim % 64 == 0
+        and (layer_cache.k.shape[2] * cfg.head_dim) % 128 == 0
+        and T % 256 == 0
+        and os.environ.get("CRANE_NO_FP_ATTN") != "1"
     )
+    if use_fused:
+        # same live-length Pallas decode kernel the shared transformer uses
+        # (reads ceil(len/block) KV blocks, not the whole [T] buffer)
+        from crane_tpu.ops.pallas.quant_attention import quant_decode_attention
+
+        out = quant_decode_attention(
+            q, layer_cache.k, layer_cache.v, None, None, positions[:, 0] + 1,
+            bits=16, scale=1.0, window=window,
+            block_t=512 if T % 512 == 0 else 256,
+        )
+    else:
+        out = gqa_attention(
+            q, layer_cache.k, layer_cache.v, positions,
+            scale=1.0,  # Gemma3n uses unit attention scaling (v is RMS-normed)
+            window=window,
+        )
     return out.reshape(B, S, cfg.num_heads * cfg.head_dim) @ p["wo"], cache
 
 
