@@ -123,13 +123,15 @@ def test_flash_segments_vs_xla_on_chip():
     )
 
 
-def test_fp_decode_attention_vs_xla_on_chip():
-    """bits=16 mode: same kernel, bf16 cache, live-length block clamp."""
+@pytest.mark.parametrize("Hq,Hkv,D", [(16, 8, 128), (8, 2, 256)])
+def test_fp_decode_attention_vs_xla_on_chip(Hq, Hkv, D):
+    """bits=16 mode: same kernel, bf16 cache, live-length block clamp.
+    (8, 2, 256) is the Gemma3n head geometry."""
     from crane_tpu.ops.kv_cache import LayerKVCache
     from crane_tpu.ops.attention import gqa_attention
     from crane_tpu.ops.pallas.quant_attention import quant_decode_attention
 
-    B, T, Hq, Hkv, D = 2, 1024, 16, 8, 128
+    B, T = 2, 1024
     valid = jnp.asarray([700, 512], jnp.int32)
     cache = LayerKVCache.empty(B, T, Hkv, D, dtype=jnp.bfloat16)
     kv_k = rng(B, T, Hkv, D, seed=7) * 0.5
