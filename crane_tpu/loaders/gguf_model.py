@@ -258,15 +258,37 @@ def tokenizer_from_gguf(r: GGUFReader):
     from crane_tpu.tokenizer.autotokenizer import AutoTokenizer
 
     tokens = r.metadata["tokenizer.ggml.tokens"]
-    merges = r.metadata.get("tokenizer.ggml.merges", [])
-    vocab = {t: i for i, t in enumerate(tokens)}
-    merge_pairs = [tuple(m.split(" ", 1)) for m in merges]
-    bpe = models.BPE(
-        vocab=vocab, merges=merge_pairs, fuse_unk=False, byte_fallback=False
-    )
-    tok = Tokenizer(bpe)
-    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
-    tok.decoder = decoders.ByteLevel()
+    model_kind = r.metadata.get("tokenizer.ggml.model", "gpt2")
+    if model_kind == "llama":
+        # sentencepiece vocab: per-token scores instead of merges,
+        # U+2581-prefixed word starts, <0xNN> byte-fallback tokens — a
+        # ByteLevel BPE over this vocab tokenizes to garbage ids
+        scores = r.metadata.get("tokenizer.ggml.scores", [0.0] * len(tokens))
+        uni = models.Unigram(
+            vocab=[(t, float(s)) for t, s in zip(tokens, scores)],
+            unk_id=int(r.metadata.get("tokenizer.ggml.unknown_token_id", 0)),
+            byte_fallback=True,
+        )
+        tok = Tokenizer(uni)
+        tok.pre_tokenizer = pre_tokenizers.Metaspace(
+            replacement="▁", prepend_scheme="first"
+        )
+        tok.decoder = decoders.Sequence([
+            decoders.Replace("▁", " "),
+            decoders.ByteFallback(),
+            decoders.Fuse(),
+            decoders.Strip(content=" ", left=1),
+        ])
+    else:  # gpt2-style byte-level BPE (qwen/gemma/hunyuan GGUFs)
+        merges = r.metadata.get("tokenizer.ggml.merges", [])
+        vocab = {t: i for i, t in enumerate(tokens)}
+        merge_pairs = [tuple(m.split(" ", 1)) for m in merges]
+        bpe = models.BPE(
+            vocab=vocab, merges=merge_pairs, fuse_unk=False, byte_fallback=False
+        )
+        tok = Tokenizer(bpe)
+        tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+        tok.decoder = decoders.ByteLevel()
 
     ttypes = r.metadata.get("tokenizer.ggml.token_type", [])
     special = [

@@ -23,19 +23,21 @@ import jax.numpy as jnp
 
 def pack_int4_rows(codes: jax.Array) -> jax.Array:
     """Pack int4 codes ``[I, O]`` (int8-typed, [-7, 7]) two-per-byte along
-    the input dim: ``packed[i] = 16 * codes[I/2 + i] + codes[i]`` — the
-    arithmetic scheme the Pallas kernel unpacks exactly in f32 (int8 vector
-    shifts don't legalize on Mosaic)."""
-    i = codes.shape[0]
-    assert i % 2 == 0, i
-    return codes[i // 2 :] * jnp.int8(16) + codes[: i // 2]
+    the input dim: ``packed[i] = 16 * codes[I/2 + i] + codes[i]``. One
+    arithmetic scheme shared with the KV cache (kv_cache.pack_int4 is the
+    canonical last-dim implementation; this is its transpose) — both Pallas
+    kernels unpack it exactly in f32, since int8 vector shifts don't
+    legalize on Mosaic."""
+    from crane_tpu.ops.kv_cache import pack_int4
+
+    assert codes.shape[0] % 2 == 0, codes.shape
+    return pack_int4(codes.T).T
 
 
 def unpack_int4_rows(packed: jax.Array) -> jax.Array:
-    p = packed.astype(jnp.int16)
-    hi = jnp.floor_divide(p + 8, 16)
-    lo = p - 16 * hi
-    return jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)
+    from crane_tpu.ops.kv_cache import unpack_int4
+
+    return unpack_int4(packed.T).T
 
 
 @jax.tree_util.register_dataclass
@@ -146,10 +148,15 @@ def linear(x: jax.Array, w, b: jax.Array | None = None) -> jax.Array:
                 and bi is not None
                 and bo is not None
             )
-            if pallas_ok:
+            x2 = x.reshape(-1, i)
+            # the Pallas kernel keeps the whole token axis resident in VMEM
+            # (scratch [M, block_o] f32 + [1, M, block_i] x blocks) — it is
+            # the bandwidth-bound GEMV/decode path. Prefill-sized M routes
+            # to the XLA dot below, which tiles M properly and is
+            # compute-bound there anyway.
+            if pallas_ok and x2.shape[0] <= 256:
                 from crane_tpu.ops.pallas.quant_matmul import quant_matmul
 
-                x2 = x.reshape(-1, i)
                 y = quant_matmul(
                     x2, w.codes, w.scales.reshape(1, o), bits=w.bits,
                     block_i=min(bi, ip), block_o=min(bo, o),

@@ -157,13 +157,27 @@ def flash_attention_causal(
         _flash_kernel, scale=scale, block_q=block_q, block_k=block_k,
         window=window, softcap=softcap, segmented=segments is not None,
     )
+    if segments is None:
+        # clamp the KV block index into the causal/window band: repeated
+        # indices make Pallas skip the DMA, so irrelevant blocks move no
+        # HBM bytes (windowed prefill is O(S*window) in traffic too, not
+        # just compute). With segments the needed set is data-dependent —
+        # every block is fetched and the in-kernel predicate decides.
+        def kv_index(b, h, i, j):
+            jj = jnp.minimum(j, (i * block_q + block_q - 1) // block_k)
+            if window is not None:
+                jj = jnp.maximum(jj, jnp.maximum(
+                    (i * block_q - window + 1) // block_k, 0))
+            return (b, h // G, jj, 0)
+    else:
+        def kv_index(b, h, i, j):
+            return (b, h // G, j, 0)
+
     in_specs = [
         pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h // G, j, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h // G, j, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_k, D), kv_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_k, D), kv_index, memory_space=pltpu.VMEM),
     ]
     operands = [qt, kt, vt]
     if segments is not None:

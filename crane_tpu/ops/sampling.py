@@ -81,19 +81,27 @@ def apply_repetition_penalty(
     return jnp.where(seen, jnp.where(logits > 0, logits / p, logits * p), logits)
 
 
-def _exact_top_p_sample(scaled: jax.Array, top_p: jax.Array, key: jax.Array) -> jax.Array:
+def _exact_top_p_sample(
+    scaled: jax.Array, top_p: jax.Array, top_k: jax.Array, key: jax.Array
+) -> jax.Array:
     """Full-vocab exact nucleus sampling (the slow path): sort the whole
-    distribution, find the per-row nucleus value cutoff, Gumbel-max over the
-    kept tokens. Only rows whose nucleus exceeds the fast path's candidate cap
-    use this result; top_k is ignored because a restrictive top_k (< cap)
-    already makes the fast path exact."""
-    sorted_vals = jnp.sort(scaled, axis=-1)[:, ::-1]
+    distribution and keep exactly the sorted top-p prefix, further capped by
+    the row's ``top_k`` (a top_k wider than the fast path's candidate cap
+    still binds here). Rank-based masking, so tokens tied with the cutoff
+    value do NOT widen the nucleus past the sorted prefix."""
+    B, V = scaled.shape
+    order = jnp.argsort(scaled, axis=-1)[:, ::-1]  # descending token ids
+    b = jnp.arange(B)[:, None]
+    pos = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32)[None, :], (B, V))
+    rank = jnp.zeros((B, V), jnp.int32).at[b, order].set(pos)
+    sorted_vals = jnp.take_along_axis(scaled, order, axis=-1)
     probs = jax.nn.softmax(sorted_vals, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
-    keep = (cum - probs) < top_p[:, None]  # always keeps rank 0
-    last = jnp.sum(keep.astype(jnp.int32), axis=-1) - 1
-    cutoff = jnp.take_along_axis(sorted_vals, last[:, None], axis=-1)
-    masked = jnp.where(scaled >= cutoff, scaled, _NEG_INF)
+    keep_sorted = (cum - probs) < top_p[:, None]  # always keeps rank 0
+    n_keep = jnp.sum(keep_sorted.astype(jnp.int32), axis=-1)
+    k_eff = jnp.where(top_k > 0, top_k, V)
+    n_keep = jnp.minimum(n_keep, k_eff)
+    masked = jnp.where(rank < n_keep[:, None], scaled, _NEG_INF)
     gumbel = jax.random.gumbel(key, scaled.shape, dtype=jnp.float32)
     return jnp.argmax(masked + gumbel, axis=-1).astype(jnp.int32)
 
@@ -155,7 +163,11 @@ def sample(
 
     sampled = jax.lax.cond(
         jnp.any(truncated),
-        lambda: jnp.where(truncated, _exact_top_p_sample(scaled, params.top_p, key), fast),
+        lambda: jnp.where(
+            truncated,
+            _exact_top_p_sample(scaled, params.top_p, params.top_k, key),
+            fast,
+        ),
         lambda: fast,
     )
 

@@ -118,8 +118,18 @@ class AutoTokenizer:
         )
 
     # -- encode / decode -----------------------------------------------------
-    def encode(self, text: str, *, add_special_tokens: bool = False) -> list[int]:
-        return self._tok.encode(text, add_special_tokens=add_special_tokens).ids
+    def encode(self, text: str, *, add_special_tokens: bool = True) -> list[int]:
+        """HF default semantics: plain encode applies special tokens — the
+        tokenizer.json post-processor if present, else an explicit BOS when
+        tokenizer_config sets ``add_bos_token`` (Llama-style models expect
+        it on every prompt). Chat-template renders pass False (the template
+        text already contains its specials)."""
+        ids = self._tok.encode(text, add_special_tokens=add_special_tokens).ids
+        if add_special_tokens and self.add_bos_token and self.bos_token:
+            bid = self._tok.token_to_id(self.bos_token)
+            if bid is not None and (not ids or ids[0] != bid):
+                ids = [bid] + ids
+        return ids
 
     def decode(self, ids: Sequence[int], *, skip_special_tokens: bool = True) -> str:
         return self._tok.decode(list(ids), skip_special_tokens=skip_special_tokens)
@@ -194,10 +204,19 @@ class AutoTokenizer:
             ctx["enable_thinking"] = enable_thinking
         rendered = compiled.render(**ctx)
         if continue_final_message:
-            # trim everything after the final message's content
+            # trim everything after the final message's content; templates
+            # may transform the content (trim filters, list-typed multimodal
+            # parts), in which case the rendering is kept as-is rather than
+            # crashing (HF raises only for the str-and-absent case; the
+            # lenient form is strictly more useful for serving)
             final = messages[-1]["content"]
-            idx = rendered.rindex(final)
-            rendered = rendered[: idx + len(final)]
+            if isinstance(final, str) and final:
+                idx = rendered.rfind(final)
+                if idx < 0 and final.strip():
+                    idx = rendered.rfind(final.strip())
+                    final = final.strip() if idx >= 0 else final
+                if idx >= 0:
+                    rendered = rendered[: idx + len(final)]
         if tokenize:
             return self.encode(rendered, add_special_tokens=False)
         return rendered

@@ -60,12 +60,18 @@ class Tekkenizer:
         vocab = [None] * len(raw["vocab"])
         for e in raw["vocab"]:
             vocab[e["rank"]] = base64.b64decode(e["token_bytes"])
+        n = cfg.get("default_num_special_tokens", 1000)
         if raw.get("special_tokens"):
-            sp = [None] * len(raw["special_tokens"])
+            # mistral-common pads an explicit list to default_num_special_tokens
+            # with placeholders — the BPE id offset is ALWAYS n, even when the
+            # file only lists the ~30 defined controls
+            sp = [None] * max(len(raw["special_tokens"]), n)
             for e in raw["special_tokens"]:
                 sp[e["rank"]] = e["token_str"]
+            for i, s in enumerate(sp):
+                if s is None:
+                    sp[i] = f"<SPECIAL_{i}>"
         else:
-            n = cfg.get("default_num_special_tokens", 1000)
             sp = _V3_SPECIALS + [
                 f"<SPECIAL_{i}>" for i in range(len(_V3_SPECIALS), n)
             ]

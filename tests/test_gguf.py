@@ -165,3 +165,49 @@ class TestKQuants:
         block[208:210] = np.frombuffer(np.float16(1.0).tobytes(), np.uint8)
         out = dequantize(block, GGML_Q6_K, 256)
         np.testing.assert_array_equal(out, np.full(256, -32.0, np.float32))
+
+
+class TestGgufTokenizer:
+    def _tok(self, meta):
+        from crane_tpu.loaders.gguf_model import tokenizer_from_gguf
+
+        class FakeReader:
+            metadata = meta
+        return tokenizer_from_gguf(FakeReader())
+
+    def test_spm_llama_vocab(self):
+        """tokenizer.ggml.model == 'llama' is a sentencepiece vocab (scores,
+        U+2581 word starts, byte fallback) — must NOT be fed to ByteLevel
+        BPE (which produced garbage single-char ids)."""
+        tokens = ["<unk>", "<s>", "</s>"]
+        tokens += [f"<0x{i:02X}>" for i in range(256)]
+        base = len(tokens)
+        tokens += ["▁hello", "▁world", "▁", "hello", "lo"]
+        scores = [0.0] * base + [-1.0, -1.5, -10.0, -3.0, -4.0]
+        t = self._tok({
+            "tokenizer.ggml.model": "llama",
+            "tokenizer.ggml.tokens": tokens,
+            "tokenizer.ggml.scores": scores,
+            "tokenizer.ggml.token_type": [2, 3, 3] + [6] * 256 + [1] * 5,
+            "tokenizer.ggml.bos_token_id": 1,
+            "tokenizer.ggml.eos_token_id": 2,
+            "tokenizer.ggml.unknown_token_id": 0,
+            "tokenizer.ggml.add_bos_token": True,
+        })
+        ids = t.encode("hello world", add_special_tokens=False)
+        assert ids == [base, base + 1]  # whole-word SPM pieces
+        assert t.decode(ids) == "hello world"
+        # byte fallback for characters outside the vocab
+        ids2 = t.encode("helloé", add_special_tokens=False)
+        assert all(i < len(tokens) for i in ids2) and len(ids2) >= 2
+        # add_bos_token honored on plain encode
+        assert t.encode("hello world")[0] == 1
+
+    def test_bpe_path_unchanged(self):
+        t = self._tok({
+            "tokenizer.ggml.model": "gpt2",
+            "tokenizer.ggml.tokens": ["h", "e", "l", "o", "he", "ll", "hell", "hello"],
+            "tokenizer.ggml.merges": ["h e", "l l", "he ll", "hell o"],
+            "tokenizer.ggml.token_type": [1] * 8,
+        })
+        assert t.encode("hello", add_special_tokens=False) == [7]
