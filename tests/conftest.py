@@ -22,3 +22,19 @@ import jax  # noqa: E402
 # else runs on the virtual 8-device CPU platform.
 if os.environ.get("CRANE_TPU_TESTS") != "1":
     jax.config.update("jax_platforms", "cpu")
+
+
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_compiled_programs():
+    """The full suite compiles hundreds of XLA programs in one process;
+    dropping them (and collected fixtures) at each module boundary keeps
+    peak memory flat — the accumulated state has produced XLA-compile
+    segfaults near the end of long -x runs."""
+    yield
+    jax.clear_caches()
+    gc.collect()
