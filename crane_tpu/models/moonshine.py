@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -95,26 +94,6 @@ def encoder_frontend(cfg: MoonshineConfig, p: dict, wav: jax.Array) -> jax.Array
     x = jax.nn.gelu(_conv1d(x, p["conv2_w"], p["conv2_b"], stride=3), approximate=False)
     x = jax.nn.gelu(_conv1d(x, p["conv3_w"], p["conv3_b"], stride=2), approximate=False)
     return x
-
-
-def _mha(cfg, p, x, kv_src, *, causal_positions=None, rope_embeds=None):
-    """Generic attention: self (rope + causal) or cross (no rope)."""
-    B, S, _ = x.shape
-    H, D = cfg.encoder_heads, cfg.head_dim
-    q = (x @ p["wq"]).reshape(B, S, H, D)
-    T = kv_src.shape[1]
-    k = (kv_src @ p["wk"]).reshape(B, T, H, D)
-    v = (kv_src @ p["wv"]).reshape(B, T, H, D)
-    if rope_embeds is not None:
-        q = apply_rope_embeds(q, *rope_embeds[0])
-        k = apply_rope_embeds(k, *rope_embeds[1])
-    if causal_positions is not None:
-        out = gqa_attention(q, k, v, causal_positions, scale=D ** -0.5)
-    else:
-        logits = jnp.einsum("bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32)
-        probs = jax.nn.softmax(logits * (D ** -0.5), axis=-1)
-        out = jnp.einsum("bhst,bthd->bshd", probs.astype(v.dtype), v)
-    return out.reshape(B, S, H * D) @ p["wo"]
 
 
 def encode(cfg: MoonshineConfig, params: dict, wav: jax.Array) -> jax.Array:
@@ -214,18 +193,29 @@ class MoonshineModel:
         self.dtype = dtype
 
     def transcribe_ids(self, wav: np.ndarray, opts: TranscribeOptions | None = None) -> list[int]:
+        from crane_tpu.utils.buckets import bucket_length
+
         cfg = self.config
         opts = opts or TranscribeOptions()
+        wav = np.asarray(wav)
+        # the conv frontend (k=127,s=64 -> k=7,s=3 -> k=3,s=2, VALID) needs
+        # ~0.9k samples for one output frame — zero-pad sub-56 ms uploads
+        # instead of crashing encoder tracing
+        if wav.shape[-1] < 1024:
+            wav = np.pad(wav, (0, 1024 - wav.shape[-1]))
         wav = jnp.asarray(wav, self.dtype)[None]
         enc, enc_kv = _encode_and_kv(cfg, self.params, wav)
         max_new = min(
             opts.max_new_tokens,
             int(len(wav[0]) / 16000 * cfg.token_rate) + 8,
         )
-        cos_tab, sin_tab = _rope_tables2(cfg, max_new + 8)
+        # bucket the decode cache/rope so the per-duration token budget
+        # doesn't recompile the decode-step graph on every distinct length
+        slots = bucket_length(max_new + 8, floor=64)
+        cos_tab, sin_tab = _rope_tables2(cfg, slots)
         cache = KVCache(
             layers=tuple(
-                LayerKVCache.empty(1, max_new + 8, cfg.decoder_heads, cfg.head_dim, self.dtype)
+                LayerKVCache.empty(1, slots, cfg.decoder_heads, cfg.head_dim, self.dtype)
                 for _ in range(cfg.decoder_layers)
             ),
             lengths=jnp.zeros((1,), jnp.int32),

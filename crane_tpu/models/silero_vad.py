@@ -190,10 +190,15 @@ class Vad:
         self.pos += len(chunk)
         return done
 
-    def flush(self) -> Optional[Segment]:
-        """Close any in-flight segment at end of stream."""
+    def flush(self, total_samples: int | None = None) -> Optional[Segment]:
+        """Close any in-flight segment at end of stream. ``total_samples``
+        clamps the end so zero-padded tail windows can't push it past the
+        real audio (and the speech_pad applies as it does mid-stream)."""
         if self.triggered:
             end = self.temp_end if self.temp_end else self.pos
+            end += self.config.ms_to_samples(self.config.speech_pad_ms)
+            if total_samples is not None:
+                end = min(end, total_samples)
             seg = Segment(self.current_start, end)
             self.triggered = False
             if seg.end - seg.start >= self.config.ms_to_samples(
@@ -213,5 +218,9 @@ class Vad:
         tail = len(audio) % w
         if tail:
             self.process_chunk(np.pad(audio[len(audio) - tail :], (0, w - tail)))
-        self.flush()
+        self.flush(total_samples=len(audio))
+        # padded ends from process_chunk are clamped to the real audio too
+        self.segments = [
+            Segment(s.start, min(s.end, len(audio))) for s in self.segments
+        ]
         return self.segments

@@ -160,6 +160,12 @@ class WhisperModel:
         cfg = self.config
         mel = self.extract_features(wav).astype(self.dtype)
         enc, enc_kv = _encode_kv(cfg, self.params, mel)
+        # cache writes past max_target_positions are silently dropped
+        # (mode="drop"), which would leave the decoder attending a stale
+        # window — cap generation to the positions that actually fit
+        max_new_tokens = min(
+            max_new_tokens, cfg.max_target_positions - len(forced_ids) - 2
+        )
         cache = KVCache(
             layers=tuple(
                 LayerKVCache.empty(1, cfg.max_target_positions, cfg.num_heads, cfg.head_dim, self.dtype)
@@ -179,6 +185,8 @@ class WhisperModel:
         return out
 
     def transcribe(self, wav: np.ndarray, opts: TranscribeOptions | None = None, **kw) -> str:
+        if opts is not None and "max_new_tokens" not in kw:
+            kw["max_new_tokens"] = opts.max_new_tokens
         ids = self.transcribe_ids(wav, **kw)
         if self.tokenizer is None:
             raise ValueError("no tokenizer attached")

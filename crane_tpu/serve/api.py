@@ -571,18 +571,24 @@ class Server:
             c = dict(base, choices=[{"index": 0, "delta": delta, "finish_reason": finish}])
             return b"data: " + json.dumps(c).encode() + b"\n\n"
 
-        await resp.write(chunk({"role": "assistant", "content": ""}))
-        while True:
-            item = await st.queue.get()
-            if item is None:
-                break
-            if isinstance(item, tuple):  # forwarded generation error
-                await resp.write(chunk({"content": f"\n[error: {item[0]}]"}))
-                break
-            await resp.write(chunk({"content": item}))
-        await resp.write(chunk({}, finish="stop"))
-        await resp.write(b"data: [DONE]\n\n")
-        await resp.write_eof()
+        try:
+            await resp.write(chunk({"role": "assistant", "content": ""}))
+            while True:
+                item = await st.queue.get()
+                if item is None:
+                    break
+                if isinstance(item, tuple):  # forwarded generation error
+                    await resp.write(chunk({"content": f"\n[error: {item[0]}]"}))
+                    break
+                await resp.write(chunk({"content": item}))
+            await resp.write(chunk({}, finish="stop"))
+            await resp.write(b"data: [DONE]\n\n")
+            await resp.write_eof()
+        except (ConnectionResetError, asyncio.CancelledError):
+            # client gone: stop the producing generate loop so the capped
+            # executor frees up instead of decoding to max_tokens
+            st.cancel()
+            raise
         return resp
 
     async def completions(self, request):

@@ -11,6 +11,7 @@ every factory-loadable model is reachable over HTTP.
 from __future__ import annotations
 
 import asyncio
+import threading
 import concurrent.futures
 from typing import Optional, Sequence
 
@@ -29,8 +30,16 @@ class LoopStreamer:
         self.loop = loop
         self.queue: "asyncio.Queue" = asyncio.Queue()
         self.n_tokens = 0
+        self.cancelled = threading.Event()
+
+    def cancel(self):
+        """Stop the producing generate loop (SSE client disconnected) —
+        generate_greedy treats a False append as early stop."""
+        self.cancelled.set()
 
     def append(self, token_id: int):
+        if self.cancelled.is_set():
+            return False
         self.n_tokens += 1
         piece = self.stream.next_token(token_id)
         if piece:
