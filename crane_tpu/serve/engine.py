@@ -64,6 +64,13 @@ def _check_hbm_budget(lm, max_slots: int, max_seq_len: int, kv_quant_bits):
     slots the whole budget is known before the first request, so the check
     is one inequality instead of runtime preemption).
 
+    The cache estimate is exact by construction: ``jax.eval_shape`` traces
+    the same ``init_cache`` call the engine makes next, so hybrid models
+    are counted correctly — GDN layers contribute their small conv ring +
+    f32 recurrent state instead of a phantom full-length KV buffer, quant
+    scale arrays are included, and any future cache layout change is
+    picked up automatically.
+
     Headroom of 15% covers activations, compiled-program buffers, and the
     donation double-buffering XLA needs during cache updates. Override the
     limit with CRANE_HBM_BYTES (useful on CPU where memory_stats() is
@@ -85,14 +92,10 @@ def _check_hbm_budget(lm, max_slots: int, max_seq_len: int, kv_quant_bits):
         return
 
     weights = _tree_bytes(lm.params)
-    cfg = lm.config
-    fp_bytes = jnp.dtype(lm.dtype).itemsize  # 4 under --dtype f32, not 2
-    kv_elem_bytes = {8: 1, 4: 0.5}.get(kv_quant_bits, fp_bytes)
-    full_layers = getattr(cfg, "num_layers", 0)
-    per_tok = full_layers * cfg.num_kv_heads * cfg.head_dim * 2
-    kv = int(max_slots * max_seq_len * per_tok * kv_elem_bytes)
-    if kv_quant_bits:  # f32 per-(token, head) scales, k and v
-        kv += max_slots * max_seq_len * full_layers * cfg.num_kv_heads * 2 * 4
+    cache_shapes = jax.eval_shape(
+        lambda: lm.init_cache(max_slots, max_seq_len, quant_bits=kv_quant_bits)
+    )
+    kv = _tree_bytes(cache_shapes)
     need = int((weights + kv) * 1.15)
     mesh = getattr(lm, "mesh", None)
     if mesh is not None and mesh.size > 1:
@@ -101,15 +104,16 @@ def _check_hbm_budget(lm, max_slots: int, max_seq_len: int, kv_quant_bits):
         need = need // mesh.size
     if need > limit:
         gib = 1024 ** 3
+        fp_bits = 8 * jnp.dtype(lm.dtype).itemsize
         raise RuntimeError(
-            f"HBM budget exceeded: weights {weights / gib:.2f} GiB + KV "
-            f"{kv / gib:.2f} GiB ({max_slots} slots x {max_seq_len} tokens x "
-            f"{full_layers} layers, {kv_quant_bits or 8 * fp_bytes}-bit) x 1.15 headroom "
+            f"HBM budget exceeded: weights {weights / gib:.2f} GiB + cache "
+            f"{kv / gib:.2f} GiB ({max_slots} slots x {max_seq_len} tokens, "
+            f"{kv_quant_bits or fp_bits}-bit KV) x 1.15 headroom "
             f"= {need / gib:.2f} GiB > device limit {limit / gib:.2f} GiB. "
             f"Reduce --max-slots/--max-seq-len or use --kv-quant int8/int4."
         )
     log.info(
-        "HBM budget: weights %.2f GiB + KV %.2f GiB (x1.15) fits %.2f GiB",
+        "HBM budget: weights %.2f GiB + cache %.2f GiB (x1.15) fits %.2f GiB",
         weights / 1024 ** 3, kv / 1024 ** 3, limit / 1024 ** 3,
     )
 
@@ -231,10 +235,34 @@ class InferenceEngine:
             return True
 
         if any(self.active):
-            n = 1 if self.scheduler.waiting else self.decode_tokens_per_seq
+            n = self.decode_tokens_per_seq
+            if self.scheduler.waiting and (
+                any(s is None for s in self.slots) or self._preempt_imminent()
+            ):
+                # shorten the block only when the waiting head could actually
+                # be admitted soon (a free slot, or the starvation timer is
+                # about to preempt). While every slot is busy and no
+                # preemption is due, a waiting queue must NOT throttle the
+                # running sequences to per-step dispatch — they'd pay block
+                # overhead 8x during exactly the backed-up periods where
+                # throughput matters.
+                n = 1
             self._decode_block(n)
             return True
         return False
+
+    def _preempt_imminent(self) -> bool:
+        """True when a fresh waiting request is within one short block of
+        tripping the starvation preemption — the only all-slots-busy case
+        where shrinking the decode block buys admission latency."""
+        if self.preempt_after_s is None:
+            return False
+        now = time.monotonic()
+        return any(
+            not s.preempted
+            and now - s.submitted_at >= self.preempt_after_s - 1.0
+            for s in self.scheduler.waiting
+        )
 
     # -- internals -----------------------------------------------------------
     def _drain_requests(self):

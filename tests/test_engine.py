@@ -243,6 +243,46 @@ def test_hbm_budget_check_rejects_oversized_config(lm):
         del os.environ["CRANE_HBM_BYTES"]
 
 
+def test_backed_up_queue_keeps_full_decode_blocks(lm):
+    """A waiting queue with every slot busy must NOT throttle running
+    sequences to 1-token blocks: while no slot is free and no preemption is
+    imminent, decode keeps running decode_tokens_per_seq-sized blocks (the
+    aggregate rate stays unchanged during slot starvation)."""
+    engine = InferenceEngine(lm, max_slots=1, max_seq_len=128,
+                             decode_tokens_per_seq=4, preempt_after_s=1e9)
+    block_sizes = []
+    orig = engine._decode_block
+    engine._decode_block = lambda n: (block_sizes.append(n), orig(n))[1]
+
+    qa = engine.submit(greedy_request("a", [1, 2, 3], n=16))
+    engine.step()  # admit a
+    qb = engine.submit(greedy_request("b", [4, 5], n=4))  # backs up the queue
+    run_until_idle(engine)
+    collect(qa), collect(qb)
+    # every decode block while b waited (and after) ran at full width
+    assert block_sizes and all(n == 4 for n in block_sizes)
+    assert engine.stats.requests_completed == 2
+
+
+def test_imminent_preemption_shortens_decode_blocks(lm):
+    """With the starvation timer about to fire, blocks drop to 1 token so
+    the preemption check runs promptly (admission latency over throughput)."""
+    # timeout shorter than the 1s imminence margin: blocks throttle from the
+    # moment b waits, while the preemption itself fires only at 0.5s
+    engine = InferenceEngine(lm, max_slots=1, max_seq_len=128,
+                             decode_tokens_per_seq=4, preempt_after_s=0.5)
+    block_sizes = []
+    orig = engine._decode_block
+    engine._decode_block = lambda n: (block_sizes.append(n), orig(n))[1]
+
+    qa = engine.submit(greedy_request("a", [1, 2, 3], n=12))
+    engine.step()
+    qb = engine.submit(greedy_request("b", [4, 5], n=4))
+    run_until_idle(engine)
+    collect(qa), collect(qb)
+    assert 1 in block_sizes  # throttled while b starved toward the timeout
+
+
 def test_preemption_admits_starved_request_not_requeued_victim(lm):
     """When a preemption is triggered FOR a starved fresh request, the freed
     slot must go to it — not to an earlier-requeued victim at the queue

