@@ -73,12 +73,17 @@ DECODE_BLOCK = 8  # tokens per device dispatch (the serving inner loop)
 
 
 def _decode_rate(params_transform=None, *, kv_bits=None, max_seq=2048,
-                 prefill_len=64, n_short=8, n_long=40,
-                 block=DECODE_BLOCK) -> float:
-    """Block-decode rate: ``block`` tokens per dispatch via lax.scan
-    (CausalLM.decode_steps — the engine's and generate()'s inner loop).
-    Per-token dispatch over the remote runtime costs more than the 28-layer
-    forward itself, so a per-step loop measures the tunnel, not the chip."""
+                 prefill_len=64, n_dispatch=6, block_short=8, block_long=64,
+                 groups=3, reps=5):
+    """Chip decode rate with dispatch/RPC overhead cancelled BY CONSTRUCTION:
+    both timed chains issue the same number of device dispatches and end in
+    one host sync, differing only in tokens per lax.scan block (8 vs 64), so
+    the marginal time is pure decode compute — per-dispatch tunnel latency
+    drops out exactly instead of "mostly". Tunnel stalls are then handled
+    statistically: median over ``reps`` adjacent short/long pairs within a
+    group (alternating order to cancel drift), max over ``groups`` spaced in
+    time — a stalled group can only read slow, so the healthiest group is
+    the chip. Returns (tok_s, group_medians)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -100,29 +105,45 @@ def _decode_rate(params_transform=None, *, kv_bits=None, max_seq=2048,
     sp = SamplingParams.make(1, do_sample=False)
     key = jax.random.PRNGKey(0)
 
-    def run_chain(n_blocks: int) -> float:
+    def run_chain(block: int) -> float:
         cache = lm.init_cache(1, max_seq, quant_bits=kv_bits)
         recent = jnp.full((1, 64), -1, jnp.int32)
         logits, cache = lm.prefill(cache, padded, [prefill_len])
         tok = jnp.argmax(logits, -1).astype(jnp.int32)
         toks, cache, recent = lm.decode_steps(cache, tok, recent, sp, key, block)
-        host_sync(toks[:, -1])  # warm compile + true sync
+        host_sync(toks[:, -1])  # true sync before the timed region
         t0 = time.perf_counter()
         cur = toks[:, -1]
-        for _ in range(n_blocks):
+        for _ in range(n_dispatch):
             toks, cache, recent = lm.decode_steps(cache, cur, recent, sp, key, block)
             cur = toks[:, -1]
         host_sync(cur)
         return time.perf_counter() - t0
 
-    per_block = _median_marginal_rate(run_chain, n_short, n_long)
-    return per_block * block
+    run_chain(block_short)  # compile both programs outside the timed reps
+    run_chain(block_long)
+    d_tokens = n_dispatch * (block_long - block_short)
+    group_medians = []
+    for _ in range(groups):
+        rates = []
+        for i in range(reps):
+            if i % 2 == 0:
+                ts, tl = run_chain(block_short), run_chain(block_long)
+            else:
+                tl, ts = run_chain(block_long), run_chain(block_short)
+            rates.append(d_tokens / max(tl - ts, 1e-9))
+        group_medians.append(sorted(rates)[reps // 2])
+    return max(group_medians), group_medians
 
 
 def bench_decode() -> None:
-    tok_s = _decode_rate()
-    _emit("qwen3_0.6b_decode_tok_s_per_chip", tok_s, "tokens/sec",
-          tok_s / REF_METAL_TOK_S)
+    tok_s, spread = _decode_rate()
+    print(json.dumps({
+        "metric": "qwen3_0.6b_decode_tok_s_per_chip",
+        "value": round(tok_s, 3), "unit": "tokens/sec",
+        "vs_baseline": round(tok_s / REF_METAL_TOK_S, 3),
+        "detail": {"group_medians": [round(r, 1) for r in spread]},
+    }))
 
 
 def bench_quant() -> None:

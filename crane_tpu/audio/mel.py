@@ -83,6 +83,12 @@ class MelConfig:
     # "whisper": log10 + dyn-range clamp + (x+4)/4 + drop last frame
     # "ln": natural log of (mel + eps)
     log_mode: str = "whisper"
+    # "power": |X|^2 (Whisper); "magnitude": sqrt(|X|^2 + 1e-9) (the TTS
+    # speaker-encoder frontend, reference modules/mel.rs:138-141)
+    spectrum: str = "power"
+    # reflect-pad amount per side: "fft" = n_fft//2 (torch.stft center);
+    # "stft" = (n_fft - hop)/2 (reference compute_mel_spectrogram, :102-104)
+    center_pad: str = "fft"
 
     @functools.cached_property
     def filters(self) -> np.ndarray:
@@ -98,7 +104,7 @@ class MelConfig:
 
 def log_mel_spectrogram(cfg: MelConfig, waveform: jax.Array) -> jax.Array:
     """waveform ``[N]`` f32 -> log-mel ``[n_mels, T]`` f32 (jit-friendly)."""
-    pad = cfg.n_fft // 2
+    pad = cfg.n_fft // 2 if cfg.center_pad == "fft" else (cfg.n_fft - cfg.hop_length) // 2
     x = jnp.pad(waveform.astype(jnp.float32), (pad, pad), mode="reflect")
     n_frames = 1 + (x.shape[0] - cfg.n_fft) // cfg.hop_length
     idx = (
@@ -107,6 +113,8 @@ def log_mel_spectrogram(cfg: MelConfig, waveform: jax.Array) -> jax.Array:
     )
     frames = x[idx] * jnp.asarray(cfg.window)
     spec = jnp.abs(jnp.fft.rfft(frames, axis=-1)) ** 2  # [T, n_freq]
+    if cfg.spectrum == "magnitude":
+        spec = jnp.sqrt(spec + 1e-9)
     mel = spec @ jnp.asarray(cfg.filters)  # [T, n_mels]
     if cfg.log_mode == "whisper":
         log_spec = jnp.log10(jnp.maximum(mel, 1e-10)).T  # [n_mels, T]

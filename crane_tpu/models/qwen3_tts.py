@@ -700,20 +700,56 @@ def load_qwen3_tts(model_dir: str, *, dtype=jnp.float32, load_decoder: bool = Tr
         tcfg, pcfg, sd, tc.get("num_code_groups", 16), dtype
     )
 
+    speaker_encoder = None
+    if any(k.startswith("speaker_encoder.") for k in sd):
+        # base checkpoints ship the ECAPA x-vector tower for voice clone
+        # (reference modeling.rs:1149-1223; model.rs:411-450)
+        from crane_tpu.models.speaker_encoder import (
+            EcapaConfig,
+            SpeakerEncoder,
+            map_speaker_encoder_weights,
+        )
+
+        sec = hf.get("speaker_encoder_config", {})
+        ecfg = EcapaConfig(
+            mel_dim=sec.get("mel_dim", 128),
+            enc_dim=sec.get("enc_dim", 1024),
+            enc_channels=tuple(sec.get("enc_channels", (512, 512, 512, 512, 1536))),
+            enc_kernel_sizes=tuple(sec.get("enc_kernel_sizes", (5, 3, 3, 3, 1))),
+            enc_dilations=tuple(sec.get("enc_dilations", (1, 2, 3, 4, 1))),
+            enc_attention_channels=sec.get("enc_attention_channels", 128),
+            enc_res2net_scale=sec.get("enc_res2net_scale", 8),
+            enc_se_channels=sec.get("enc_se_channels", 128),
+            sample_rate=sec.get("sample_rate", 24000),
+        )
+        speaker_encoder = SpeakerEncoder(ecfg, map_speaker_encoder_weights(ecfg, sd))
+
     decoder = None
+    ref_encoder = None
     st_dir = os.path.join(model_dir, "speech_tokenizer")
     if load_decoder and os.path.isdir(st_dir):
-        from crane_tpu.models.speech_tokenizer import load_speech_tokenizer
+        from crane_tpu.models.speech_tokenizer import (
+            load_speech_tokenizer,
+            load_speech_tokenizer_encoder,
+        )
 
         decoder = load_speech_tokenizer(st_dir)
+        # the same safetensors carry the Mimi-style encoder (prefix
+        # ``encoder.*``) used to turn reference audio into codec codes for
+        # ICL voice clone (reference speech_tokenizer_v2.rs:1548-1565)
+        ref_encoder = load_speech_tokenizer_encoder(st_dir)
 
     tok = None
     try:
         tok = AutoTokenizer.from_pretrained(model_dir)
     except Exception:
         pass
-    return Qwen3TTSModel(
+    model = Qwen3TTSModel(
         tcfg, pcfg, specials, params,
         num_code_groups=tc.get("num_code_groups", 16),
         tokenizer=tok, decoder=decoder, dtype=dtype,
+        speaker_encoder=speaker_encoder,
     )
+    if ref_encoder is not None:
+        model.ref_encoder = ref_encoder
+    return model

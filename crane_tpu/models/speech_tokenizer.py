@@ -58,9 +58,10 @@ class SpeechDecoderConfig:
 # ── primitive layers (all [B, C, T] f32) ─────────────────────────────────
 
 
-def causal_conv(x, w, b, *, stride=1, dilation=1, groups=1):
+def causal_conv(x, w, b, *, stride=1, dilation=1, groups=1, pad_mode="zero"):
     """Reference CausalConvNet (:484-533): left pad (K_eff - stride), plus
-    right pad to the ideal frame count."""
+    right pad to the ideal frame count. ``pad_mode="replicate"`` edge-pads
+    instead (the Mimi encoder's frame-rate downsample conv)."""
     K = w.shape[-1]
     eff = (K - 1) * dilation + 1
     pad = max(eff - stride, 0)
@@ -68,7 +69,8 @@ def causal_conv(x, w, b, *, stride=1, dilation=1, groups=1):
     n_frames = (L - eff + pad) / stride + 1.0
     ideal = (int(np.ceil(n_frames)) - 1) * stride + (eff - pad)
     extra = max(ideal - L, 0)
-    x = jnp.pad(x, ((0, 0), (0, 0), (pad, extra)))
+    mode = "edge" if pad_mode == "replicate" else "constant"
+    x = jnp.pad(x, ((0, 0), (0, 0), (pad, extra)), mode=mode)
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=(stride,), padding="VALID",
         rhs_dilation=(dilation,), feature_group_count=groups,
@@ -401,6 +403,354 @@ def load_speech_tokenizer(model_dir: str) -> SpeechTokenizerDecoder:
     )
     sd = load_state_dict(model_dir)
     return SpeechTokenizerDecoder(cfg, map_decoder_weights(cfg, sd))
+
+
+# ── Mimi-style encoder (reference audio -> codec codes, voice clone) ───────
+#
+# Reference: speech_tokenizer_v2.rs — the model ships an encoder under the
+# ``encoder.*`` prefix of the same speech_tokenizer safetensors; the reference
+# PREFERS its HF-Mimi-semantics path (HfMimiEncoder, :1382-1472, "mirrors the
+# vendor qwen3-tts-rs-3 encoder") over its own conv-then-elu variant, so the
+# behavior spec here is the HF Mimi encoder: SEANet tower (ELU *before* each
+# conv in residual blocks) -> x2 conv downsample -> 8-layer LayerNorm/GELU
+# sliding-window transformer with LayerScale -> split residual VQ
+# (1 semantic + N acoustic codebooks, nearest-neighbor on usage-normalized
+# codebooks), trimmed to ``valid_num_quantizers`` (:1324-1364, 1449-1472).
+
+
+@dataclasses.dataclass(frozen=True)
+class SpeechEncoderConfig:
+    """Reference EncoderConfig defaults (speech_tokenizer_v2.rs:77-185)."""
+
+    num_filters: int = 64
+    hidden_size: int = 512
+    intermediate_size: int = 2048
+    num_hidden_layers: int = 8
+    num_attention_heads: int = 8
+    num_key_value_heads: int = 8
+    head_dim: int = 64
+    kernel_size: int = 7
+    last_kernel_size: int = 3
+    residual_kernel_size: int = 3
+    num_residual_layers: int = 1
+    dilation_growth_rate: int = 2
+    compress: int = 2
+    # decoder-order ratios; the encoder strides are these reversed
+    upsampling_ratios: tuple = (8, 6, 5, 4)
+    codebook_size: int = 2048
+    codebook_dim: int = 256
+    num_quantizers: int = 32
+    num_semantic_quantizers: int = 1
+    norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    sliding_window: int = 250
+    vector_quantization_hidden_dimension: int = 256
+    valid_num_quantizers: int = 16
+    input_sample_rate: int = 24000
+
+    @property
+    def encoder_strides(self) -> tuple:
+        return tuple(reversed(self.upsampling_ratios))
+
+
+def encoder_seanet(cfg: SpeechEncoderConfig, p: dict, audio: jax.Array) -> jax.Array:
+    """audio ``[B, 1, N]`` f32 -> latent ``[B, hidden, T]`` at 12.5 Hz:
+    SEANet downsampling tower then the x2 frame-rate conv (HF Mimi order —
+    ELU before residual convs and before every downsample/last conv)."""
+    h = causal_conv(audio, p["first_w"], p["first_b"])
+    for block, stride in zip(p["blocks"], cfg.encoder_strides):
+        for j, unit in enumerate(block["units"]):
+            r = h
+            u = causal_conv(jax.nn.elu(h), unit["conv1_w"], unit["conv1_b"],
+                            dilation=cfg.dilation_growth_rate ** j)
+            u = causal_conv(jax.nn.elu(u), unit["conv2_w"], unit["conv2_b"])
+            h = r + u
+        h = causal_conv(jax.nn.elu(h), block["down_w"], block["down_b"], stride=stride)
+    h = causal_conv(jax.nn.elu(h), p["last_w"], p["last_b"])
+    # ConvDownsample1d(compress=2): k=4, stride=2, no bias, REPLICATE padding
+    # (:1294-1298; HF MimiModel passes pad_mode="replicate" here)
+    return causal_conv(h, p["downsample_w"], None, stride=2, pad_mode="replicate")
+
+
+def _layer_norm(x, w, b, eps):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * w + b
+
+
+def encoder_transformer(cfg: SpeechEncoderConfig, layers: list, x: jax.Array) -> jax.Array:
+    """x ``[B, T, D]`` -> ``[B, T, D]``: LayerNorm pre-norms, sliding-window
+    causal RoPE attention, LayerScale, GELU MLP (fc1/fc2) — the encoder
+    transformer (:980-1058); projections are identity (dim == d_model)."""
+    B, T, D = x.shape
+    H, hd = cfg.num_attention_heads, cfg.head_dim
+
+    pos = jnp.arange(T, dtype=jnp.float32)
+    inv = 1.0 / (cfg.rope_theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
+    freqs = jnp.outer(pos, inv)
+    cos, sin = jnp.cos(freqs), jnp.sin(freqs)
+    ti = jnp.arange(T)
+    mask = (ti[None, :] <= ti[:, None]) & (ti[:, None] - ti[None, :] < cfg.sliding_window)
+
+    h = x
+    for layer in layers:
+        n = _layer_norm(h, layer["input_ln_w"], layer["input_ln_b"], cfg.norm_eps)
+        q = _rope_halfsplit((n @ layer["wq"]).reshape(B, T, H, hd), cos, sin)
+        k = _rope_halfsplit((n @ layer["wk"]).reshape(B, T, H, hd), cos, sin)
+        v = (n @ layer["wv"]).reshape(B, T, H, hd)
+        s = jnp.einsum("bqhd,bthd->bhqt", q, k, preferred_element_type=jnp.float32)
+        s = s * (hd ** -0.5)
+        s = jnp.where(mask[None, None], s, -jnp.inf)
+        a = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        o = jnp.einsum("bhqt,bthd->bqhd", a, v).reshape(B, T, H * hd)
+        h = h + (o @ layer["wo"]) * layer["attn_scale"]
+        n = _layer_norm(h, layer["post_ln_w"], layer["post_ln_b"], cfg.norm_eps)
+        m = jax.nn.gelu(n @ layer["fc1"], approximate=False) @ layer["fc2"]
+        h = h + m * layer["mlp_scale"]
+    return h
+
+
+def _codebook_table(layer: dict) -> jax.Array:
+    """Usage-normalized codebook ``[bins, dim]`` (embed_sum / clamp(usage))."""
+    return layer["embed_sum"] / jnp.clip(layer["usage"], 1e-5, None)[:, None]
+
+
+def _rvq_encode_branch(branch: dict, x: jax.Array, n_layers: int) -> jax.Array:
+    """x ``[B, D, T]`` -> codes ``[B, n_layers, T]``: pointwise input_proj then
+    the residual nearest-neighbor chain (:1219-1243)."""
+    y = jnp.einsum("bdt,nd->bnt", x, branch["input_proj"])
+    res = y.transpose(0, 2, 1)  # [B, T, dim]
+    codes = []
+    for layer in branch["layers"][:n_layers]:
+        emb = _codebook_table(layer)  # [C, dim]
+        d = (
+            jnp.sum(res ** 2, -1, keepdims=True)
+            - 2.0 * (res @ emb.T)
+            + jnp.sum(emb ** 2, -1)[None, None]
+        )
+        code = jnp.argmin(d, axis=-1)  # [B, T]
+        res = res - emb[code]
+        codes.append(code)
+    return jnp.stack(codes, axis=1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def encode_audio(cfg: SpeechEncoderConfig, p: dict, audio: jax.Array) -> jax.Array:
+    """audio ``[B, 1, N]`` f32 -> codes ``[B, T, valid_num_quantizers]``
+    (semantic codebook first — the talker's codebook-0 stream)."""
+    h = encoder_seanet(cfg, p, audio)
+    h = encoder_transformer(cfg, p["transformer"], h.transpose(0, 2, 1)).transpose(0, 2, 1)
+    sem = _rvq_encode_branch(p["semantic"], h, cfg.num_semantic_quantizers)
+    n_aco = cfg.valid_num_quantizers - cfg.num_semantic_quantizers
+    if n_aco > 0:
+        aco = _rvq_encode_branch(p["acoustic"], h, n_aco)
+        sem = jnp.concatenate([sem, aco], axis=1)
+    return sem.transpose(0, 2, 1)
+
+
+class SpeechTokenizerEncoder:
+    """24 kHz reference audio -> ``[T, n_q]`` codec codes (voice clone)."""
+
+    def __init__(self, config: SpeechEncoderConfig, params: dict):
+        self.config = config
+        self.params = params
+
+    @property
+    def sample_rate(self) -> int:
+        return self.config.input_sample_rate
+
+    def encode(self, audio: np.ndarray) -> np.ndarray:
+        """audio mono f32 ``[N]`` (or ``[B, N]``) in [-1, 1] at 24 kHz ->
+        codes ``[T, n_q]`` int32 (``[B, T, n_q]`` for batched input)."""
+        a = np.asarray(audio, np.float32)
+        squeeze = a.ndim == 1
+        if squeeze:
+            a = a[None]
+        codes = np.asarray(encode_audio(self.config, self.params, jnp.asarray(a[:, None, :])))
+        return codes[0] if squeeze else codes
+
+    def __call__(self, audio: np.ndarray) -> np.ndarray:
+        return self.encode(audio)
+
+
+def _encoder_layer_indices(cfg: SpeechEncoderConfig):
+    """SEANet layer indices in the checkpoint (res units / downsample convs
+    interleave with parameterless ELU entries — :1275-1281)."""
+    blocks, idx = [], 1
+    for _ in cfg.encoder_strides:
+        units = list(range(idx, idx + cfg.num_residual_layers))
+        down = idx + cfg.num_residual_layers + 1
+        blocks.append((units, down))
+        idx = down + 1
+    return blocks, idx + 1  # (per-block indices, last-conv index)
+
+
+def map_encoder_weights(cfg: SpeechEncoderConfig, sd: dict, prefix: str = "encoder.") -> dict:
+    """Map the released speech-tokenizer ``encoder.*`` tensors (HF MimiModel
+    encoder-side layout) to the params tree."""
+    g = lambda n: jnp.asarray(np.asarray(sd[prefix + n], np.float32))
+
+    def conv(n):
+        b = f"{prefix}{n}.conv.bias"
+        return g(n + ".conv.weight"), (g(n + ".conv.bias") if b in sd else None)
+
+    block_idx, last_idx = _encoder_layer_indices(cfg)
+    blocks = []
+    for units_idx, down_idx in block_idx:
+        units = []
+        for u in units_idx:
+            c1w, c1b = conv(f"encoder.layers.{u}.block.1")
+            c2w, c2b = conv(f"encoder.layers.{u}.block.3")
+            units.append({
+                "conv1_w": c1w, "conv1_b": c1b, "conv2_w": c2w, "conv2_b": c2b,
+            })
+        dw, db = conv(f"encoder.layers.{down_idx}")
+        blocks.append({"units": units, "down_w": dw, "down_b": db})
+
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        L = f"encoder_transformer.layers.{i}."
+        t = lambda n: g(L + n).T
+        layers.append({
+            "wq": t("self_attn.q_proj.weight"), "wk": t("self_attn.k_proj.weight"),
+            "wv": t("self_attn.v_proj.weight"), "wo": t("self_attn.o_proj.weight"),
+            "fc1": t("mlp.fc1.weight"), "fc2": t("mlp.fc2.weight"),
+            "input_ln_w": g(L + "input_layernorm.weight"),
+            "input_ln_b": g(L + "input_layernorm.bias"),
+            "post_ln_w": g(L + "post_attention_layernorm.weight"),
+            "post_ln_b": g(L + "post_attention_layernorm.bias"),
+            "attn_scale": g(L + "self_attn_layer_scale.scale"),
+            "mlp_scale": g(L + "mlp_layer_scale.scale"),
+        })
+
+    def rvq_branch(name, n_layers):
+        q = f"quantizer.{name}_residual_vector_quantizer."
+        w = np.asarray(sd[prefix + q + "input_proj.weight"], np.float32)
+        branch = {"input_proj": jnp.asarray(w[:, :, 0]), "layers": []}
+        for i in range(n_layers):
+            c = f"{q}layers.{i}.codebook."
+            usage_key = prefix + c + "cluster_usage"
+            usage = (
+                jnp.asarray(np.asarray(sd[usage_key], np.float32))
+                if usage_key in sd else jnp.ones((cfg.codebook_size,), jnp.float32)
+            )
+            branch["layers"].append({"embed_sum": g(c + "embed_sum"), "usage": usage})
+        return branch
+
+    fw, fb = conv("encoder.layers.0")
+    lw, lb = conv(f"encoder.layers.{last_idx}")
+    n_aco = cfg.valid_num_quantizers - cfg.num_semantic_quantizers
+    return {
+        "first_w": fw, "first_b": fb,
+        "blocks": blocks,
+        "last_w": lw, "last_b": lb,
+        "downsample_w": g("downsample.conv.weight"),
+        "transformer": layers,
+        "semantic": rvq_branch("semantic", cfg.num_semantic_quantizers),
+        "acoustic": rvq_branch("acoustic", n_aco),
+    }
+
+
+def load_speech_tokenizer_encoder(model_dir: str) -> "SpeechTokenizerEncoder | None":
+    """Build the encoder from a released ``speech_tokenizer/`` directory.
+    Returns None when the checkpoint ships no ``encoder.*`` tensors."""
+    import json
+    import os
+
+    from crane_tpu.loaders.safetensors_loader import load_state_dict
+
+    sd = load_state_dict(model_dir)
+    if not any(k.startswith("encoder.") for k in sd):
+        return None
+    with open(os.path.join(model_dir, "config.json")) as f:
+        raw = json.load(f)
+    ec = raw.get("encoder_config", {})
+    cfg = SpeechEncoderConfig(
+        num_filters=ec.get("num_filters", 64),
+        hidden_size=ec.get("hidden_size", 512),
+        intermediate_size=ec.get("intermediate_size", 2048),
+        num_hidden_layers=ec.get("num_hidden_layers", 8),
+        num_attention_heads=ec.get("num_attention_heads", 8),
+        num_key_value_heads=ec.get("num_key_value_heads", 8),
+        head_dim=ec.get("head_dim", 64),
+        kernel_size=ec.get("kernel_size", 7),
+        last_kernel_size=ec.get("last_kernel_size", 3),
+        residual_kernel_size=ec.get("residual_kernel_size", 3),
+        num_residual_layers=ec.get("num_residual_layers", 1),
+        upsampling_ratios=tuple(ec.get("upsampling_ratios", (8, 6, 5, 4))),
+        codebook_size=ec.get("codebook_size", 2048),
+        codebook_dim=ec.get("codebook_dim", 256),
+        num_quantizers=ec.get("num_quantizers", 32),
+        num_semantic_quantizers=ec.get("num_semantic_quantizers", 1),
+        norm_eps=ec.get("norm_eps", 1e-5),
+        rope_theta=ec.get("rope_theta", 10000.0),
+        sliding_window=ec.get("sliding_window", 250),
+        vector_quantization_hidden_dimension=ec.get(
+            "vector_quantization_hidden_dimension", 256),
+        valid_num_quantizers=raw.get("encoder_valid_num_quantizers", 16),
+        input_sample_rate=raw.get("output_sample_rate", 24000),
+    )
+    return SpeechTokenizerEncoder(cfg, map_encoder_weights(cfg, sd))
+
+
+def random_encoder_state_dict(cfg: SpeechEncoderConfig, seed: int = 0) -> dict:
+    """Random state dict with the released checkpoint's ``encoder.*`` key
+    layout (tests / dry-runs; real shapes, arbitrary values)."""
+    rng = np.random.default_rng(seed)
+
+    def r(*shape, scale=0.05):
+        return (rng.normal(size=shape) * scale).astype(np.float32)
+
+    sd, e = {}, "encoder."
+    sd[e + "encoder.layers.0.conv.weight"] = r(cfg.num_filters, 1, cfg.kernel_size)
+    sd[e + "encoder.layers.0.conv.bias"] = r(cfg.num_filters)
+    block_idx, last_idx = _encoder_layer_indices(cfg)
+    ch = cfg.num_filters
+    for (units_idx, down_idx), stride in zip(block_idx, cfg.encoder_strides):
+        for u in units_idx:
+            sd[e + f"encoder.layers.{u}.block.1.conv.weight"] = r(
+                ch // cfg.compress, ch, cfg.residual_kernel_size)
+            sd[e + f"encoder.layers.{u}.block.1.conv.bias"] = r(ch // cfg.compress)
+            sd[e + f"encoder.layers.{u}.block.3.conv.weight"] = r(ch, ch // cfg.compress, 1)
+            sd[e + f"encoder.layers.{u}.block.3.conv.bias"] = r(ch)
+        sd[e + f"encoder.layers.{down_idx}.conv.weight"] = r(2 * ch, ch, 2 * stride)
+        sd[e + f"encoder.layers.{down_idx}.conv.bias"] = r(2 * ch)
+        ch *= 2
+    sd[e + f"encoder.layers.{last_idx}.conv.weight"] = r(
+        cfg.hidden_size, ch, cfg.last_kernel_size)
+    sd[e + f"encoder.layers.{last_idx}.conv.bias"] = r(cfg.hidden_size)
+    sd[e + "downsample.conv.weight"] = r(cfg.hidden_size, cfg.hidden_size, 4)
+    H, hd = cfg.num_attention_heads, cfg.head_dim
+    for i in range(cfg.num_hidden_layers):
+        L = f"{e}encoder_transformer.layers.{i}."
+        sd[L + "self_attn.q_proj.weight"] = r(H * hd, cfg.hidden_size)
+        sd[L + "self_attn.k_proj.weight"] = r(H * hd, cfg.hidden_size)
+        sd[L + "self_attn.v_proj.weight"] = r(H * hd, cfg.hidden_size)
+        sd[L + "self_attn.o_proj.weight"] = r(cfg.hidden_size, H * hd)
+        sd[L + "mlp.fc1.weight"] = r(cfg.intermediate_size, cfg.hidden_size)
+        sd[L + "mlp.fc2.weight"] = r(cfg.hidden_size, cfg.intermediate_size)
+        sd[L + "input_layernorm.weight"] = np.ones(cfg.hidden_size, np.float32)
+        sd[L + "input_layernorm.bias"] = np.zeros(cfg.hidden_size, np.float32)
+        sd[L + "post_attention_layernorm.weight"] = np.ones(cfg.hidden_size, np.float32)
+        sd[L + "post_attention_layernorm.bias"] = np.zeros(cfg.hidden_size, np.float32)
+        sd[L + "self_attn_layer_scale.scale"] = np.full(cfg.hidden_size, 0.01, np.float32)
+        sd[L + "mlp_layer_scale.scale"] = np.full(cfg.hidden_size, 0.01, np.float32)
+    dim = cfg.vector_quantization_hidden_dimension
+    for name, nq in (
+        ("semantic", cfg.num_semantic_quantizers),
+        ("acoustic", cfg.num_quantizers - cfg.num_semantic_quantizers),
+    ):
+        q = f"{e}quantizer.{name}_residual_vector_quantizer."
+        sd[q + "input_proj.weight"] = r(dim, cfg.hidden_size, 1)
+        for i in range(nq):
+            sd[q + f"layers.{i}.codebook.embed_sum"] = r(cfg.codebook_size, dim, scale=1.0)
+            sd[q + f"layers.{i}.codebook.cluster_usage"] = np.ones(cfg.codebook_size, np.float32)
+    return sd
+
+
+def init_encoder_params(cfg: SpeechEncoderConfig, seed: int = 0) -> dict:
+    """Random encoder params at ``cfg`` shapes (tests / dry-runs)."""
+    return map_encoder_weights(cfg, random_encoder_state_dict(cfg, seed))
 
 
 def random_decoder_state_dict(cfg: SpeechDecoderConfig, seed: int = 0) -> dict:
