@@ -11,8 +11,10 @@ TPU-native design: the probability model is a small native JAX conv+LSTM
 (`VadModel`, SURVEY.md §7: tiny graphs are ported natively rather than
 evaluated through ONNX); the state machine is pure host Python (it is
 per-chunk control flow, not tensor math). The state machine accepts ANY
-``prob_fn(chunk, state) -> (p, state)``, so it is fully testable with a
-synthetic energy model and usable with converted Silero weights.
+``prob_fn(chunk, state) -> (p, state)``; `load_silero_onnx` runs the
+RELEASED ``onnx-community/silero-vad`` checkpoint through the in-tree ONNX
+evaluator (`OnnxVadModel`), exactly as the reference does (model.rs:28-29,
+315-317), while `VadModel` remains the native synthetic-weight path.
 """
 
 from __future__ import annotations
@@ -147,6 +149,62 @@ def energy_vad(scale: float = 20.0) -> Callable:
         return 1.0 / (1.0 + np.exp(-scale * (rms - 0.1))), state
 
     return fn
+
+
+# -- released-checkpoint path (ONNX) -----------------------------------------
+
+
+class OnnxVadModel:
+    """Probability model over the released Silero VAD ONNX graph, evaluated
+    by ``crane_tpu.onnx`` (reference model.rs:527-585): per chunk the
+    previous chunk's tail (context, 64 samples @16 kHz / 32 @8 kHz) is
+    prepended, so the graph sees ``input`` ``[1, context+window]``, plus
+    ``sr`` (int64 scalar) and the recurrent ``state`` ``[2, 1, 128]``; the
+    graph's first output is the speech probability, the second the next
+    state (output order, not names — model.rs:558-576)."""
+
+    def __init__(self, session, sample_rate: int = 16000, state_dim: int | None = None):
+        if sample_rate not in (8000, 16000):
+            raise ValueError(f"unsupported sample rate {sample_rate}")
+        self.session = session
+        self.sample_rate = sample_rate
+        self.context_size = 64 if sample_rate == 16000 else 32
+        ins = list(session.input_names)
+        if len(ins) != 3:
+            raise ValueError(f"expected 3 graph inputs (input, sr, state), got {ins}")
+        self.in_input, self.in_sr, self.in_state = ins
+        if state_dim is None:
+            # released graph declares state [2, B, 128]; trust its spec
+            spec = session.model.graph.input_specs.get(self.in_state)
+            state_dim = int(spec[1][-1]) if spec and spec[1][-1] > 0 else 128
+        self.state_dim = state_dim
+
+    def initial_state(self):
+        return (
+            np.zeros((2, 1, self.state_dim), np.float32),
+            np.zeros((1, self.context_size), np.float32),
+        )
+
+    def __call__(self, chunk: np.ndarray, state):
+        st, ctx = state
+        x = np.concatenate([ctx, np.asarray(chunk, np.float32)[None]], axis=1)
+        out = self.session.run({
+            self.in_input: x,
+            self.in_sr: np.asarray(self.sample_rate, np.int64),
+            self.in_state: st,
+        })
+        names = self.session.output_names
+        prob = float(np.asarray(out[names[0]]).reshape(-1)[0])
+        new_state = np.asarray(out[names[1]], np.float32)
+        return prob, (new_state, x[:, -self.context_size :])
+
+
+def load_silero_onnx(path: str, sample_rate: int = 16000) -> OnnxVadModel:
+    """Load a released Silero VAD ``model.onnx`` (onnx-community/silero-vad)
+    as a ``Vad``-compatible probability model."""
+    from crane_tpu.onnx import Session, read_file
+
+    return OnnxVadModel(Session(read_file(path)), sample_rate)
 
 
 # -- streaming state machine (reference Vad::segment_audio) ------------------

@@ -508,6 +508,7 @@ class Session:
             if np.issubdtype(np.asarray(ins[0]).dtype, np.integer)
             else np.power(ins[0], ins[1].astype(ins[0].dtype)),
             "Sqrt": lambda: np.sqrt(x),
+            "Reciprocal": lambda: (1.0 / x).astype(np.asarray(x).dtype),
             "Exp": lambda: np.exp(x),
             "Log": lambda: np.log(x),
             "Abs": lambda: np.abs(x),

@@ -491,3 +491,51 @@ def test_recurrent_sequence_lens_mask(op):
         np.testing.assert_allclose(Y[:L, 0, b_i], ref[0][:, 0, 0], rtol=1e-5, atol=1e-6)
         np.testing.assert_array_equal(Y[L:, 0, b_i], 0.0)
         np.testing.assert_allclose(Yh[0, b_i], ref[1][0, 0], rtol=1e-5, atol=1e-6)
+
+
+def test_snac_onnx_decoder_layout(tmp_path):
+    """SNAC-24kHz decoder interface (reference snac_onnx/model.rs:1-49):
+    three multi-rate int64 code streams -> waveform. Fixture mirrors the
+    released decoder's structure — per-scale VQ embedding lookup,
+    transposed-conv upsampling to a common rate, summed, snake-activated
+    conv tail — exported via torch and oracle-compared."""
+
+    class TinySnacDecoder(nn.Module):
+        def __init__(self, bins=64, dim=16):
+            super().__init__()
+            self.emb1 = nn.Embedding(bins, dim)
+            self.emb2 = nn.Embedding(bins, dim)
+            self.emb3 = nn.Embedding(bins, dim)
+            self.up1 = nn.ConvTranspose1d(dim, dim, 8, stride=4)
+            self.up2 = nn.ConvTranspose1d(dim, dim, 4, stride=2)
+            self.alpha = nn.Parameter(torch.rand(1, dim, 1) * 0.5 + 0.5)
+            self.out = nn.ConvTranspose1d(dim, 1, 16, stride=8)
+
+        def forward(self, c1, c2, c3):
+            h1 = self.up1(self.emb1(c1).transpose(1, 2))
+            h2 = self.up2(self.emb2(c2).transpose(1, 2))
+            h3 = self.emb3(c3).transpose(1, 2)
+            n = min(h1.shape[-1], h2.shape[-1], h3.shape[-1])
+            h = h1[..., :n] + h2[..., :n] + h3[..., :n]
+            h = h + (1.0 / self.alpha) * torch.sin(self.alpha * h) ** 2  # snake
+            return self.out(h)
+
+    m = TinySnacDecoder().eval()
+    T = 5
+    rng = np.random.default_rng(0)
+    c1 = torch.from_numpy(rng.integers(0, 64, (1, T)).astype(np.int64))
+    c2 = torch.from_numpy(rng.integers(0, 64, (1, 2 * T)).astype(np.int64))
+    c3 = torch.from_numpy(rng.integers(0, 64, (1, 4 * T)).astype(np.int64))
+    path = str(tmp_path / "snac.onnx")
+    with torch.no_grad():
+        torch.onnx.export(m, (c1, c2, c3), path, opset_version=17, dynamo=False,
+                          input_names=["c1", "c2", "c3"], output_names=["audio"])
+        ref = m(c1, c2, c3).numpy().reshape(-1)
+
+    from crane_tpu.models.snac_onnx import load_snac_onnx
+
+    dec = load_snac_onnx(path)
+    assert dec.input_names == ["c1", "c2", "c3"]
+    got = dec.decode(c1.numpy()[0], c2.numpy()[0], c3.numpy()[0])
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
