@@ -419,12 +419,38 @@ def attention_block(
         and jax.default_backend() == "tpu"
         and os.environ.get("CRANE_NO_FLASH") != "1"
     )
+    # cached-continuation prefill (multi-turn chat: a new chunk attends the
+    # full cache buffer): the Pallas kernel's live-length index-map clamp
+    # moves O(S * ctx) KV bytes, where the XLA path materializes the whole
+    # [max_seq] buffer and an [S, max_seq] logit matrix
+    use_flash_cached = (
+        read_cache
+        and S > 1
+        and extra_mask is None
+        and segments is None
+        and not hasattr(new_cache, "dequant")  # quant caches dequant first
+        and S >= 256
+        and D % 128 == 0
+        and new_cache.k.shape[0] == B
+        and new_cache.k.shape[1] % 256 == 0
+        and jax.default_backend() == "tpu"
+        and os.environ.get("CRANE_NO_FLASH") != "1"
+    )
     if use_flash:
         from crane_tpu.ops.pallas.flash_attention import flash_attention_causal
 
         out = flash_attention_causal(
             q, kc, vc, segments, scale=scale, window=window,
             softcap=cfg.attn_logit_softcap,
+        )
+    elif use_flash_cached:
+        from crane_tpu.ops.pallas.flash_attention import flash_attention_cached
+
+        max_t = new_cache.k.shape[1]
+        out = flash_attention_cached(
+            q, kc, vc, positions, scale=scale, window=window,
+            softcap=cfg.attn_logit_softcap,
+            block_k=512 if max_t % 512 == 0 else 256,
         )
     else:
         out = gqa_attention(

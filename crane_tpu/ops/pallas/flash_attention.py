@@ -11,8 +11,14 @@ S/Bk)`` with the KV axis innermost (sequential on TPU), carrying the running
 max/sum/accumulator in VMEM scratch. Fully-masked blocks above the causal
 diagonal skip their compute via predication.
 
-Used for fresh prefill (positions from 0, S == T); decode and cached-prefill
-keep the einsum path (tiny logits there).
+Used for fresh prefill (positions from 0, S == T) via
+:func:`flash_attention_causal`, and for CACHED-CONTINUATION prefill (new
+chunk of S queries at positions ``start..start+S-1`` attending the full
+cache buffer) via :func:`flash_attention_cached`, whose KV index map clamps
+to the per-row live length so a continuation at length L moves
+O(S * L) HBM bytes instead of the whole ``[max_seq]`` buffer the XLA path
+materializes. Decode (S == 1) goes through the fused kernel in
+``quant_attention.py``.
 """
 
 from __future__ import annotations
@@ -212,5 +218,163 @@ def flash_attention_causal(
         ),
         interpret=interpret,
     )(*operands)
+
+    return out[:, :, :S].transpose(0, 2, 1, 3)
+
+
+# ── cached-continuation prefill ─────────────────────────────────────────────
+
+
+def _cached_kernel(
+    pos_sref, q_ref, k_ref, v_ref, pos_ref, o_ref, m_scr, l_scr, acc_scr,
+    *, scale, block_q, block_k, window, softcap,
+):
+    b = pl.program_id(0)
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+    nj = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    kv_start = j * block_k
+    # absolute positions of this q block (SMEM scalars, monotone along S)
+    q_lo = pos_sref[b, i * block_q]
+    q_hi = pos_sref[b, i * block_q + block_q - 1]
+    relevant = kv_start <= q_hi
+    if window is not None:
+        relevant &= kv_start + block_k - 1 > q_lo - window
+
+    @pl.when(relevant)
+    def _():
+        q = q_ref[0, 0].astype(jnp.float32)  # [Bq, D]
+        k = k_ref[0, 0].astype(jnp.float32)  # [Bk, D]
+        v = v_ref[0, 0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        if softcap is not None:
+            s = softcap * jnp.tanh(s / softcap)
+        qi = pos_ref[0][:, None]  # [Bq, 1] absolute query positions
+        kj = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kv_start
+        mask = qi >= kj
+        if window is not None:
+            mask &= kj > qi - window
+        s = jnp.where(mask, s, _NEG_INF)
+
+        m_prev = m_scr[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + jnp.dot(
+            p, v, preferred_element_type=jnp.float32
+        )
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+
+    @pl.when(j == nj - 1)
+    def _():
+        denom = l_scr[:, :1]
+        denom = jnp.where(denom == 0.0, 1.0, denom)  # fully-padded q rows
+        o_ref[0, 0] = (acc_scr[:] / denom).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "block_q", "block_k", "window", "softcap",
+                     "interpret"),
+)
+def flash_attention_cached(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    positions: jax.Array,
+    *,
+    scale: float,
+    block_q: int = 256,
+    block_k: int = 512,
+    window: int | None = None,
+    softcap: float | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Causal GQA flash attention for a continuation chunk over cache buffers.
+
+    q ``[B, S, Hq, D]`` — the new chunk; k/v ``[B, T, Hkv, D]`` — the FULL
+    cache buffers (context + the just-written chunk, T = allocated max_seq,
+    multiple of block_k); positions ``[B, S]`` int32 — absolute query
+    positions (monotone along S; the chunk occupies cache slots
+    ``positions``). Returns ``[B, S, Hq, D]``.
+
+    The per-row live length never needs to be passed: causality bounds it.
+    The KV index map clamps block j to ``positions[b, block_end] // block_k``
+    and Pallas skips the DMA when the index repeats, so a continuation at
+    context length L moves ceil((L+S)/block_k) KV blocks per q block —
+    reference-style dequantize-on-read buffers become O(S*(L+S)) traffic
+    instead of O(S*T) (the quant_attention live-length clamp, generalized
+    from S == 1 to chunks).
+    """
+    B, S, Hq, D = q.shape
+    T, Hkv = k_cache.shape[1], k_cache.shape[2]
+    G = Hq // Hkv
+
+    block_q = min(block_q, S)
+    block_k = min(block_k, T)
+    assert T % block_k == 0, (T, block_k)
+    pad_q = (-S) % block_q
+    Sq = S + pad_q
+
+    qt = q.transpose(0, 2, 1, 3)  # [B, Hq, S, D]
+    kt = k_cache.transpose(0, 2, 1, 3)  # [B, Hkv, T, D]
+    vt = v_cache.transpose(0, 2, 1, 3)
+    # bucket-padded tail queries carry positions past the live region; clamp
+    # so the index map never points outside the allocated buffer
+    pos = jnp.minimum(positions.astype(jnp.int32), T - 1)
+    if pad_q:
+        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+        pos = jnp.pad(pos, ((0, 0), (0, pad_q)), mode="edge")
+
+    def kv_index(b, h, i, j, pos_s):
+        jj = jnp.minimum(j, pos_s[b, i * block_q + block_q - 1] // block_k)
+        if window is not None:
+            jj = jnp.maximum(jj, jnp.maximum(
+                (pos_s[b, i * block_q] - window + 1) // block_k, 0))
+        return (b, h // G, jj, 0)
+
+    kernel = functools.partial(
+        _cached_kernel, scale=scale, block_q=block_q, block_k=block_k,
+        window=window, softcap=softcap,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, Hq, Sq // block_q, T // block_k),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, D),
+                             lambda b, h, i, j, pos_s: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, block_k, D), kv_index),
+                pl.BlockSpec((1, 1, block_k, D), kv_index),
+                pl.BlockSpec((1, block_q),
+                             lambda b, h, i, j, pos_s: (b, i)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, block_q, D), lambda b, h, i, j, pos_s: (b, h, i, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 128), jnp.float32),  # running max
+                pltpu.VMEM((block_q, 128), jnp.float32),  # running sum
+                pltpu.VMEM((block_q, D), jnp.float32),  # output accumulator
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, Sq, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=int(2 * 2 * B * Hq * Sq * T * D // 2),
+            bytes_accessed=int(B * (Hq * S + 2 * Hkv * T) * D * 2),
+            transcendentals=int(B * Hq * Sq * T // 2),
+        ),
+        interpret=interpret,
+    )(pos, qt, kt, vt, pos)
 
     return out[:, :, :S].transpose(0, 2, 1, 3)

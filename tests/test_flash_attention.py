@@ -140,3 +140,96 @@ def test_no_segments_unchanged():
                                scale=D ** -0.5, block_q=16, block_k=16,
                                interpret=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(z), rtol=1e-6, atol=1e-6)
+
+
+# ── cached-continuation kernel ──────────────────────────────────────────────
+
+from crane_tpu.ops.pallas.flash_attention import flash_attention_cached
+
+
+@pytest.mark.parametrize(
+    "B,ctx,S,T,Hq,Hkv,D,bq,bk",
+    [
+        (1, 40, 32, 128, 4, 2, 32, 16, 16),   # GQA continuation mid-buffer
+        (2, 17, 48, 96, 2, 2, 16, 16, 32),    # ragged ctx, padded q blocks
+        (1, 0, 32, 64, 8, 1, 8, 16, 16),      # fresh (ctx=0) through the cached kernel
+    ],
+)
+def test_cached_matches_sdpa(B, ctx, S, T, Hq, Hkv, D, bq, bk):
+    """Continuation chunk at positions ctx..ctx+S-1 over full cache buffers
+    must reproduce the einsum path (which masks by query position)."""
+    q = rng(B, S, Hq, D, seed=1)
+    k = rng(B, T, Hkv, D, seed=2)
+    v = rng(B, T, Hkv, D, seed=3)
+    positions = jnp.broadcast_to(jnp.arange(S)[None] + ctx, (B, S)).astype(jnp.int32)
+    ref = gqa_attention(q, k, v, positions, scale=D ** -0.5)
+    got = flash_attention_cached(
+        q, k, v, positions, scale=D ** -0.5, block_q=bq, block_k=bk,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("window", [8, 24])
+def test_cached_sliding_window_matches_sdpa(window):
+    B, ctx, S, T, Hq, Hkv, D = 1, 30, 32, 128, 4, 2, 32
+    q = rng(B, S, Hq, D, seed=4)
+    k = rng(B, T, Hkv, D, seed=5)
+    v = rng(B, T, Hkv, D, seed=6)
+    positions = (jnp.arange(S)[None] + ctx).astype(jnp.int32)
+    ref = gqa_attention(q, k, v, positions, scale=D ** -0.5, window=window)
+    got = flash_attention_cached(
+        q, k, v, positions, scale=D ** -0.5, window=window,
+        block_q=16, block_k=16, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_cached_softcap_matches_sdpa():
+    B, ctx, S, T, Hq, Hkv, D = 1, 20, 16, 64, 2, 2, 16
+    q = rng(B, S, Hq, D, seed=7) * 3
+    k = rng(B, T, Hkv, D, seed=8) * 3
+    v = rng(B, T, Hkv, D, seed=9)
+    positions = (jnp.arange(S)[None] + ctx).astype(jnp.int32)
+    ref = gqa_attention(q, k, v, positions, scale=D ** -0.5, logit_softcap=30.0)
+    got = flash_attention_cached(
+        q, k, v, positions, scale=D ** -0.5, softcap=30.0,
+        block_q=16, block_k=16, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-5, atol=3e-5)
+
+
+def test_cached_garbage_beyond_live_region_ignored():
+    """Slots past the live region hold stale data from a previous occupant;
+    causal masking by absolute position must make them invisible."""
+    B, ctx, S, T, Hq, Hkv, D = 1, 24, 16, 128, 2, 2, 16
+    q = rng(B, S, Hq, D, seed=10)
+    k = rng(B, T, Hkv, D, seed=11)
+    v = rng(B, T, Hkv, D, seed=12)
+    positions = (jnp.arange(S)[None] + ctx).astype(jnp.int32)
+    out1 = flash_attention_cached(q, k, v, positions, scale=D ** -0.5,
+                                  block_q=16, block_k=16, interpret=True)
+    live = ctx + S
+    k2 = k.at[:, live:].set(99.0)  # poison the dead region
+    v2 = v.at[:, live:].set(-77.0)
+    out2 = flash_attention_cached(q, k2, v2, positions, scale=D ** -0.5,
+                                  block_q=16, block_k=16, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def test_cached_bucket_padded_positions():
+    """Positions may run past the buffer for bucket-pad tail queries; real
+    rows must be unaffected by the clamp."""
+    B, ctx, S, T, Hq, Hkv, D = 1, 100, 32, 128, 2, 2, 16
+    # true chunk is 20 tokens; 12 pad rows carry positions 120..131 > T-1
+    q = rng(B, S, Hq, D, seed=13)
+    k = rng(B, T, Hkv, D, seed=14)
+    v = rng(B, T, Hkv, D, seed=15)
+    positions = (jnp.arange(S)[None] + ctx).astype(jnp.int32)
+    got = flash_attention_cached(q, k, v, positions, scale=D ** -0.5,
+                                 block_q=16, block_k=16, interpret=True)
+    true_S = 20
+    ref = gqa_attention(q[:, :true_S], k, v, positions[:, :true_S], scale=D ** -0.5)
+    np.testing.assert_allclose(np.asarray(got[:, :true_S]), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    assert np.isfinite(np.asarray(got)).all()  # pad rows defined, no NaN
