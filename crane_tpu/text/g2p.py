@@ -126,34 +126,14 @@ def normalize_text(text: str) -> str:
     return re.sub(r"\s+", " ", text).strip()
 
 
-# minimal English letter-to-sound fallback rules (longest-match-first),
-# in lieu of the reference's full rule engine; an OOV model refines these
-_LTS_RULES = [
-    ("tion", "ʃən"), ("ough", "ʌf"), ("igh", "aɪ"), ("tch", "tʃ"),
-    ("ch", "tʃ"), ("sh", "ʃ"), ("th", "θ"), ("ph", "f"), ("wh", "w"),
-    ("ck", "k"), ("ng", "ŋ"), ("qu", "kw"), ("ee", "iː"), ("oo", "uː"),
-    ("ea", "iː"), ("ai", "eɪ"), ("ay", "eɪ"), ("ou", "aʊ"), ("ow", "oʊ"),
-    ("oi", "ɔɪ"), ("a", "æ"), ("b", "b"), ("c", "k"), ("d", "d"),
-    ("e", "ɛ"), ("f", "f"), ("g", "ɡ"), ("h", "h"), ("i", "ɪ"),
-    ("j", "dʒ"), ("k", "k"), ("l", "l"), ("m", "m"), ("n", "n"),
-    ("o", "ɑ"), ("p", "p"), ("r", "ɹ"), ("s", "s"), ("t", "t"),
-    ("u", "ʌ"), ("v", "v"), ("w", "w"), ("x", "ks"), ("y", "j"),
-    ("z", "z"),
-]
-
-
 def letter_to_sound(word: str) -> str:
-    out, i = [], 0
-    w = word.lower()
-    while i < len(w):
-        for pat, ph in _LTS_RULES:
-            if w.startswith(pat, i):
-                out.append(ph)
-                i += len(pat)
-                break
-        else:
-            i += 1  # drop unknown character
-    return "".join(out)
+    """Full hand-written English LTS engine (english_rules.rs parity —
+    function words, affix decomposition, context-sensitive graphemes,
+    magic-e/r-colored/open-closed vowels, stress insertion); see
+    :mod:`crane_tpu.text.english_rules`."""
+    from crane_tpu.text.english_rules import hand_oov_rules_ipa
+
+    return hand_oov_rules_ipa(word)
 
 
 @dataclasses.dataclass
@@ -231,3 +211,26 @@ class Phonemizer:
 
             oov = OovModel.from_dir(oov_dir).phonemize_word
         return cls(lexicon=lex, oov_fn=oov, **kw)
+
+
+class MultilingualPhonemizer:
+    """Language-routing phonemizer (reference ``LanguageG2p``,
+    g2p/languages/mod.rs): ``en*`` -> the English three-tier engine,
+    ``de*`` -> :class:`crane_tpu.text.german.GermanG2p`. Exposes the
+    2-argument ``text_to_ipa(text, language)`` protocol KokoroTts injects."""
+
+    def __init__(self, english: "Phonemizer | None" = None, german=None):
+        self.english = english or Phonemizer()
+        if german is None:
+            from crane_tpu.text.german import GermanG2p
+
+            german = GermanG2p("")  # rules-only until a lexicon is supplied
+        self.german = german
+
+    def text_to_ipa(self, text: str, language: str = "en_us") -> str:
+        if str(language).lower().startswith("de"):
+            return self.german.text_to_ipa(text)
+        return self.english.phonemize(text)
+
+    def phonemize(self, text: str) -> str:
+        return self.text_to_ipa(text)

@@ -55,6 +55,22 @@ class Lexicon:
         return cls({w: tuple(sorted(alts)) for w, alts in raw.items()})
 
     @classmethod
+    def from_tsv_text(cls, content: str) -> "Lexicon":
+        """Same format as :meth:`from_tsv`, from in-memory TSV content
+        (reference GermanG2p::new takes lexicon content, german.rs:45-47)."""
+        raw: dict[str, set] = {}
+        for lineno, line in enumerate(content.splitlines(), 1):
+            if not line or line.startswith("#"):
+                continue
+            if "\t" not in line:
+                raise ValueError(f"line {lineno}: expected word\\tIPA")
+            word, ipa = line.split("\t", 1)
+            if not word or not ipa:
+                raise ValueError(f"line {lineno}: empty word or IPA")
+            raw.setdefault(word, set()).add(ipa)
+        return cls({w: tuple(sorted(alts)) for w, alts in raw.items()})
+
+    @classmethod
     def from_pairs(cls, pairs) -> "Lexicon":
         raw: dict[str, set] = {}
         for word, ipa in pairs:

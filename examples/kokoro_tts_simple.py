@@ -2,7 +2,7 @@
 (reference example kokoro path).
 
 Usage: python examples/kokoro_tts_simple.py --model-path /path/to/kokoro \
-           --text "Hello world" --voice af_heart --out out.wav
+           --text "Hello world" --voice af_heart [--language de] --out out.wav
 The model dir needs tokenizer.json (phoneme vocab) and voices/*.bin. With
 the released onnx/model.onnx present this synthesizes with the real
 Kokoro-82M graph (crane_tpu.onnx evaluator); otherwise it falls back to the
@@ -23,12 +23,13 @@ from crane_tpu.models.kokoro_tts import (
     load_voice_bin,
     parse_vocab,
 )
-from crane_tpu.text.g2p import Phonemizer
+from crane_tpu.text.g2p import MultilingualPhonemizer
 
 ap = argparse.ArgumentParser()
 ap.add_argument("--model-path", required=True)
 ap.add_argument("--text", default="Hello world")
 ap.add_argument("--voice", default=None)
+ap.add_argument("--language", default="en_us", help="en_us or de (German rules engine)")
 ap.add_argument("--speed", type=float, default=1.0)
 ap.add_argument("--out", default="out.wav")
 args = ap.parse_args()
@@ -38,7 +39,7 @@ has_onnx = glob.glob(os.path.join(args.model_path, "onnx", "*.onnx")) or \
 if has_onnx:
     from crane_tpu.models.kokoro_tts import load_kokoro_onnx
 
-    tts = load_kokoro_onnx(args.model_path)
+    tts = load_kokoro_onnx(args.model_path, phonemizer=MultilingualPhonemizer())
 else:
     vocab = parse_vocab(os.path.join(args.model_path, "tokenizer.json"))
     voices = {
@@ -46,7 +47,8 @@ else:
         for p in glob.glob(os.path.join(args.model_path, "voices", "*.bin"))
     }
     synth = KokoroSynthesizer(KokoroNetConfig(vocab_size=max(vocab.values()) + 1))
-    tts = KokoroTts(vocab, voices, synth, phonemizer=Phonemizer())
-wav, sr = tts.generate_speech(args.text, voice=args.voice, speed=args.speed)
+    tts = KokoroTts(vocab, voices, synth, phonemizer=MultilingualPhonemizer())
+wav, sr = tts.generate_speech(args.text, language=args.language,
+                              voice=args.voice, speed=args.speed)
 save_wav(args.out, np.clip(wav, -1, 1), sr)
 print(f"wrote {args.out} ({len(wav)} samples @ {sr} Hz)")

@@ -80,7 +80,7 @@ class TestPhonemizer:
     def test_rule_fallback_for_oov(self):
         p = Phonemizer(lexicon={})
         out = p.phonemize("ship")
-        assert out == "ʃɪp"
+        assert out == "ʃˈɪp"  # full rule engine inserts primary stress
 
     def test_oov_model_hook_and_cache(self):
         calls = []
@@ -99,9 +99,12 @@ class TestPhonemizer:
         assert p.phonemize("3 cats") == "θɹiː kæts"
 
     def test_lts_digraphs(self):
-        assert letter_to_sound("thing") == "θɪŋ"
-        assert letter_to_sound("check") == "tʃɛk"
-        assert letter_to_sound("nation") == "næʃən"
+        # full rule engine output (english_rules.rs parity, with stress)
+        assert letter_to_sound("thing") == "θˈɪŋ"
+        assert letter_to_sound("check") == "tʃˈɛk"
+        # closed-syllable 'a' + the -tion literal; the stress heuristic
+        # ranks ə above æ (english_rules.rs VOWEL_PREFIXES priority)
+        assert letter_to_sound("nation") == "næʃˈən"
 
 
 # ── lexicon / ipa postprocess / OOV tiers (reference g2p/{lexicon,
