@@ -360,8 +360,10 @@ def quantize_params(
     gathers). On Qwen3-0.6B the tied head is ~311 MB bf16 — the single
     largest per-token HBM read in quantized decode — so this trades ~78 MB
     of extra weight memory (int4) for ~1.4x decode. The reference never
-    quantizes the tied head (qwen3_5/model.rs:116-121), so the default is
-    off unless CRANE_QUANT_TIED_HEAD=1."""
+    quantizes the tied head (qwen3_5/model.rs:116-121), but measured int4
+    decode is HBM-roof-bound on exactly that read (bench.py --mode quant:
+    w4h is the fastest variant), so int4 defaults it ON; int8 keeps it off.
+    CRANE_QUANT_TIED_HEAD=0/1 overrides either way."""
     import os
 
     from crane_tpu.ops.linear import quantize_weight
@@ -380,7 +382,8 @@ def quantize_params(
     new = dict(params)
     new["layers"] = tuple(q_layer(l) for l in params["layers"])
     if quant_tied_head is None:
-        quant_tied_head = os.environ.get("CRANE_QUANT_TIED_HEAD") == "1"
+        env = os.environ.get("CRANE_QUANT_TIED_HEAD")
+        quant_tied_head = (bits == 4) if env is None else env == "1"
     def q_head(w):
         # pad the vocab dim to a 512 multiple so the Pallas quant kernel is
         # eligible (151936 = 128 x 1187 never divides 256); padded columns

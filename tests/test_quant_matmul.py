@@ -132,3 +132,34 @@ def test_int4_nonmultiple_of_512_hidden():
                        block_i=256, block_o=256, interpret=True)
     ref = x @ q.dequant(jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2)
+
+
+def test_quant_tied_head_default_follows_bits(monkeypatch):
+    """int4 ISQ defaults to quantizing a copy of the tied head (the
+    measured-fastest serving variant, bench.py --mode quant w4h); int8
+    keeps the reference behavior (head never quantized,
+    qwen3_5/model.rs:116-121); CRANE_QUANT_TIED_HEAD overrides both ways."""
+    import jax.numpy as jnp
+
+    from crane_tpu.generation.config import GenerationConfig
+    from crane_tpu.models.auto import quantize_params
+    from crane_tpu.models.causal_lm import CausalLM
+    from crane_tpu.models.init import QWEN3_TINY, init_params
+
+    monkeypatch.delenv("CRANE_QUANT_TIED_HEAD", raising=False)
+    params = init_params(QWEN3_TINY, seed=0, dtype=jnp.float32)
+    assert "lm_head" not in params  # tied embeddings
+    q4 = quantize_params(params, bits=4)
+    assert "lm_head" in q4
+    q8 = quantize_params(params, bits=8)
+    assert "lm_head" not in q8
+    monkeypatch.setenv("CRANE_QUANT_TIED_HEAD", "0")
+    assert "lm_head" not in quantize_params(params, bits=4)
+    monkeypatch.setenv("CRANE_QUANT_TIED_HEAD", "1")
+    assert "lm_head" in quantize_params(params, bits=8)
+    monkeypatch.delenv("CRANE_QUANT_TIED_HEAD")
+
+    # the default q4 model still generates (quantized head drives logits)
+    lm = CausalLM(QWEN3_TINY, q4, dtype=jnp.float32)
+    toks = lm.generate([3, 14, 15], GenerationConfig.greedy(4))
+    assert len(toks) == 4
