@@ -263,7 +263,7 @@ def bench_vl() -> None:
     from crane_tpu.models.modules.transformer import (
         TransformerConfig, make_cache, make_rope_tables,
     )
-    from crane_tpu.models.qwen3_vl import _vlm_decode_step, _vlm_prefill
+    from crane_tpu.models.qwen3_vl import _vlm_decode_block, _vlm_prefill
     from crane_tpu.ops.rope import mrope_cos_sin
     from crane_tpu.utils.timing import host_sync
 
@@ -291,23 +291,26 @@ def bench_vl() -> None:
     dsk = jnp.zeros((0, 0, cfg.hidden_size), jnp.bfloat16)
     delta = jnp.asarray(0, jnp.int32)
 
-    def run_chain(n: int) -> float:
+    def run_chain(n_blocks: int) -> float:
+        # block decode (the real generate() inner loop): DECODE_BLOCK
+        # tokens per dispatch, same amortization as the text benches
         cache = make_cache(cfg, 1, 2048, jnp.bfloat16)
         _, cache = _vlm_prefill(cfg, params, rope, cache, embeds, cos, sin,
                                 dsk_mask, dsk, jnp.asarray(S, jnp.int32))
         tok = jnp.zeros((1,), jnp.int32)
-        tok, cache = _vlm_decode_step(cfg, mrope_section, params, rope,
-                                      cache, tok, delta)
-        host_sync(tok)
+        toks, cache = _vlm_decode_block(cfg, mrope_section, params, rope,
+                                        cache, tok, delta, DECODE_BLOCK)
+        host_sync(toks[:, -1])
         t0 = time.perf_counter()
-        cur = tok
-        for _ in range(n):
-            cur, cache = _vlm_decode_step(cfg, mrope_section, params, rope,
-                                          cache, cur, delta)
+        cur = toks[:, -1]
+        for _ in range(n_blocks):
+            toks, cache = _vlm_decode_block(cfg, mrope_section, params, rope,
+                                            cache, cur, delta, DECODE_BLOCK)
+            cur = toks[:, -1]
         host_sync(cur)
         return time.perf_counter() - t0
 
-    tok_s = _median_marginal_rate(run_chain, 32, 160)
+    tok_s = _median_marginal_rate(run_chain, 4, 20) * DECODE_BLOCK
     _emit("qwen3_vl_2b_decode_tok_s_per_chip", tok_s, "tokens/sec",
           tok_s / (2 * REF_METAL_TOK_S))
 

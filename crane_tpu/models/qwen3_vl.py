@@ -64,8 +64,7 @@ def _vlm_prefill(cfg, params, rope, cache, embeds, rope_cos, rope_sin, deepstack
     return logits, new_cache
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(4,))
-def _vlm_decode_step(cfg, mrope_section, params, rope, cache, token, pos_delta):
+def _vlm_decode_body(cfg, mrope_section, params, rope, cache, token, pos_delta):
     # decode position = token index + mrope delta; all three streams equal
     p = (cache.lengths + pos_delta).astype(jnp.int32)
     pos3 = jnp.broadcast_to(p[None, :, None], (3, 1, 1))
@@ -76,6 +75,29 @@ def _vlm_decode_step(cfg, mrope_section, params, rope, cache, token, pos_delta):
     )
     logits = lm_logits(cfg, params, hidden)[:, 0]
     return jnp.argmax(logits, -1).astype(jnp.int32), new_cache
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(4,))
+def _vlm_decode_step(cfg, mrope_section, params, rope, cache, token, pos_delta):
+    return _vlm_decode_body(cfg, mrope_section, params, rope, cache, token, pos_delta)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 7), donate_argnums=(4,))
+def _vlm_decode_block(cfg, mrope_section, params, rope, cache, token, pos_delta, n_steps):
+    """``n_steps`` greedy decode steps in ONE device dispatch (lax.scan) —
+    the same per-block dispatch amortization the text engine and TTS/ASR
+    paths use; per-token host loops pay one RPC per token on remote
+    runtimes. Returns (tokens ``[B, n_steps]``, cache)."""
+
+    def step(carry, _):
+        cache, tok = carry
+        nxt, cache = _vlm_decode_body(
+            cfg, mrope_section, params, rope, cache, tok, pos_delta
+        )
+        return (cache, nxt), nxt
+
+    (cache, _), toks = jax.lax.scan(step, (cache, token), None, length=n_steps)
+    return toks.T, cache  # [n_steps, B] -> [B, n_steps]
 
 
 class Qwen3VLModel:
@@ -255,18 +277,37 @@ class Qwen3VLModel:
         )
         tok = int(jnp.argmax(logits, -1)[0])
 
-        out = []
+        # block decode: BLOCK tokens per device dispatch (per-token loops
+        # pay one RPC per token on remote runtimes); EOS is detected on the
+        # host within the block and the overrun tokens are dropped
+        BLOCK = 8
+        if gen.max_new_tokens <= 0:
+            if streamer is not None:
+                streamer.finalize()
+            return []
+        out = [tok]
+        stopped = (
+            streamer is not None and streamer.append(tok) is False
+        ) or tok in eos
         cur = jnp.asarray([tok], jnp.int32)
         pos_delta = jnp.asarray(delta, jnp.int32)
-        for _ in range(gen.max_new_tokens):
-            out.append(int(cur[0]))
-            if streamer is not None and streamer.append(out[-1]) is False:
-                break
-            if out[-1] in eos:
-                break
-            cur, cache = _vlm_decode_step(
-                cfg, self.mrope_section, self.params, self.rope, cache, cur, pos_delta
+        while not stopped and len(out) < gen.max_new_tokens:
+            toks, cache = _vlm_decode_block(
+                cfg, self.mrope_section, self.params, self.rope, cache, cur,
+                pos_delta, BLOCK,
             )
+            cur = toks[:, -1]
+            for t in np.asarray(toks[0]).tolist():
+                if len(out) >= gen.max_new_tokens:
+                    stopped = True
+                    break
+                out.append(int(t))
+                if streamer is not None and streamer.append(out[-1]) is False:
+                    stopped = True
+                    break
+                if out[-1] in eos:
+                    stopped = True
+                    break
         if streamer is not None:
             streamer.finalize()
         return out
