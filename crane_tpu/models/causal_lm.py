@@ -82,6 +82,32 @@ def _prefill_slot(cfg, params, rope, cache, tokens, slot, true_length):
     return logits, new_cache
 
 
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(3,))
+def _prefill_slot_cont(cfg, params, rope, cache, tokens, slot, start, true_length):
+    """Continuation chunk ``tokens [1, S_bucket]`` written at positions
+    ``start..`` of row ``slot`` (chunked prefill: every chunk after the
+    first attends the row's live context). The row is sliced to a batch-1
+    cache view so attention takes the cached-continuation path
+    (flash_attention_cached on TPU — O(S * live) HBM traffic), then the
+    updated row merges back into the multi-slot buffers. Returns logits at
+    the chunk's last real token."""
+    row = jax.tree.map(
+        lambda a: jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=0), cache
+    )
+    hidden, new_row = forward_hidden(
+        cfg, params, tokens, row, start, rope, true_lengths=true_length[None],
+    )
+    merged = jax.tree.map(
+        lambda a, r: jax.lax.dynamic_update_slice_in_dim(a, r.astype(a.dtype), slot, axis=0),
+        cache, new_row,
+    )
+    new_lengths = cache.lengths.at[slot].set(start + true_length)
+    merged = dataclasses.replace(merged, lengths=new_lengths)
+    last = jax.lax.dynamic_index_in_dim(hidden[0], true_length - 1, axis=0, keepdims=False)
+    logits = lm_logits(cfg, params, last[None, None])[:, 0]
+    return logits, merged
+
+
 @functools.partial(jax.jit, static_argnums=(0, 9), donate_argnums=(3, 5))
 def _decode_active(cfg, params, rope, cache, tokens, recent, sp, key, active, n_steps: int):
     """``n_steps`` batched decode rounds over all slots with an activity mask.
@@ -228,6 +254,18 @@ class CausalLM:
             self.config, self.params, self.rope, cache,
             jnp.asarray(token_ids, jnp.int32),
             jnp.asarray(slot, jnp.int32),
+            jnp.asarray(true_length, jnp.int32),
+        )
+
+    def prefill_slot_continue(self, cache, token_ids, slot: int, start: int,
+                              true_length: int):
+        """Write a continuation chunk at positions ``start..`` of slot
+        ``slot`` (chunked prefill; attends the row's live context)."""
+        return _prefill_slot_cont(
+            self.config, self.params, self.rope, cache,
+            jnp.asarray(token_ids, jnp.int32),
+            jnp.asarray(slot, jnp.int32),
+            jnp.asarray(start, jnp.int32),
             jnp.asarray(true_length, jnp.int32),
         )
 

@@ -761,6 +761,10 @@ def main(argv=None):
                     help="seconds a fresh request may starve before the "
                     "longest-running sequence is preempted and requeued "
                     "(<=0 disables)")
+    ap.add_argument("--prefill-chunk", type=int, default=0,
+                    help="admit prompts longer than this in chunks, with a "
+                    "decode block for running sequences interleaved between "
+                    "chunks (<=0 = whole-prompt prefill)")
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     ap.add_argument("--quant", default=None, choices=[None, "q8", "q4"])
     ap.add_argument("--kv-quant", default=None, choices=[None, "int8", "int4"])
@@ -817,6 +821,7 @@ def main(argv=None):
             decode_tokens_per_seq=args.decode_tokens_per_seq,
             kv_quant_bits={"int8": 8, "int4": 4}.get(args.kv_quant),
             preempt_after_s=args.preempt_after if args.preempt_after > 0 else None,
+            prefill_chunk=args.prefill_chunk if args.prefill_chunk > 0 else None,
         )
     tts = asr = vlm = None
     if args.vlm_path:

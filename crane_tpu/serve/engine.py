@@ -128,6 +128,7 @@ class InferenceEngine:
         decode_tokens_per_seq: int = 8,
         kv_quant_bits: int | None = None,
         preempt_after_s: float | None = 30.0,
+        prefill_chunk: int | None = None,
     ):
         self.lm = lm
         self.max_slots = max_slots
@@ -139,6 +140,15 @@ class InferenceEngine:
         # scarce resource here is KV slots rather than KV bytes). None
         # disables preemption.
         self.preempt_after_s = preempt_after_s
+        # chunked prefill: prompts longer than this admit in chunks, each
+        # chunk one device dispatch, with a decode block for the RUNNING
+        # sequences interleaved between chunks — a long prompt no longer
+        # stalls every active stream for its whole prefill. Chunks after
+        # the first run the cached-continuation path (Pallas kernel on
+        # TPU). None = whole-prompt prefill (one dispatch, lowest latency
+        # for the admitted request).
+        self.prefill_chunk = prefill_chunk
+        self._pending: Optional[dict] = None
 
         _check_hbm_budget(lm, max_slots, max_seq_len, kv_quant_bits)
         self.cache = lm.init_cache(max_slots, max_seq_len, quant_bits=kv_quant_bits)
@@ -185,6 +195,10 @@ class InferenceEngine:
             tok = np.zeros((1, s), np.int32)
             _, self.cache = self.lm.prefill_slot(self.cache, tok, 0, 1)
             s *= 2
+        if self.prefill_chunk is not None:
+            b = bucket_length(self.prefill_chunk, floor=64, ceiling=self.max_seq_len)
+            tok = np.zeros((1, b), np.int32)
+            _, self.cache = self.lm.prefill_slot_continue(self.cache, tok, 0, 1, 1)
         for n in sorted({1, self.decode_tokens_per_seq}):
             out, self.cache, self.recent = self.lm.decode_active(
                 self.cache, self.cur_tokens, self.recent, self.sp,
@@ -225,6 +239,14 @@ class InferenceEngine:
             )
         self._drain_requests()
         self._check_aborted()
+
+        if self._pending is not None:
+            self._admit_chunk()
+            if self._pending is not None and any(self.active):
+                # keep running streams alive between chunks of a long
+                # admission (the point of chunked prefill)
+                self._decode_block(1)
+            return True
 
         seq = self.scheduler.next_prefill()
         if seq is not None:
@@ -368,8 +390,21 @@ class InferenceEngine:
 
         slot = self._free_slot()
         seq.slot = slot
-        t0 = time.perf_counter()
 
+        if self.prefill_chunk is not None and ctx_len > self.prefill_chunk:
+            # chunked admission: reserve the slot (inactive), promote so the
+            # scheduler's capacity accounting sees it, then feed chunks one
+            # step at a time from the engine loop
+            self.slots[slot] = seq
+            self.scheduler.promote(seq)
+            self._pending = {
+                "seq": seq, "ctx": np.asarray(ctx, np.int32), "offset": 0,
+                "spent": 0.0,
+            }
+            self._admit_chunk()
+            return
+
+        t0 = time.perf_counter()
         s_bucket = bucket_length(ctx_len, floor=64, ceiling=self.max_seq_len)
         padded = np.zeros((1, s_bucket), np.int32)
         padded[0, :ctx_len] = ctx
@@ -377,9 +412,50 @@ class InferenceEngine:
         logits, self.cache = self.lm.prefill_slot(
             self.cache, padded, slot, ctx_len
         )
+        self.slots[slot] = seq
+        self.scheduler.promote(seq)
+        self.stats.prefill_time_s += time.perf_counter() - t0
+        self._finish_admission(seq, logits, ctx)
 
+    def _admit_chunk(self):
+        """One chunk of a pending chunked admission: first chunk is a fresh
+        slot prefill, later chunks run the cached-continuation path at the
+        row's live offset. The final chunk's logits complete admission."""
+        p = self._pending
+        seq = p["seq"]
+        if seq.cancelled or self.slots[seq.slot] is not seq:
+            self._pending = None  # aborted mid-admission; slot already freed
+            return
+        ctx, offset = p["ctx"], p["offset"]
+        n = min(self.prefill_chunk, len(ctx) - offset)
+        chunk = ctx[offset : offset + n]
+        s_bucket = bucket_length(n, floor=64, ceiling=self.max_seq_len)
+        padded = np.zeros((1, s_bucket), np.int32)
+        padded[0, :n] = chunk
+        t0 = time.perf_counter()
+        if offset == 0:
+            logits, self.cache = self.lm.prefill_slot(
+                self.cache, padded, seq.slot, n
+            )
+        else:
+            logits, self.cache = self.lm.prefill_slot_continue(
+                self.cache, padded, seq.slot, offset, n
+            )
+        p["spent"] += time.perf_counter() - t0
+        p["offset"] = offset + n
+        if p["offset"] < len(ctx):
+            return
+        self._pending = None
+        self.stats.prefill_time_s += p["spent"]
+        self._finish_admission(seq, logits, ctx)
+
+    def _finish_admission(self, seq: Sequence, logits, ctx):
+        """Sampling state + first token + activation, shared by whole-prompt
+        and chunked admission (the tail of the reference's step_prefill)."""
+        ctx_len = len(ctx)
+        slot = seq.slot
         # per-slot sampling state
-        s = req.sampling
+        s = seq.request.sampling
         self.sp = SamplingParams(
             temperature=self.sp.temperature.at[slot].set(s.temperature),
             top_k=self.sp.top_k.at[slot].set(s.top_k),
@@ -402,11 +478,8 @@ class InferenceEngine:
         )
         self.cur_tokens = self.cur_tokens.at[slot].set(first[0])
 
-        self.slots[slot] = seq
         self.active[slot] = True
-        self.scheduler.promote(seq)
         self.stats.prompt_tokens += ctx_len
-        self.stats.prefill_time_s += time.perf_counter() - t0
 
         if seq.detok is None and self.lm.tokenizer is not None:
             seq.detok = TokenOutputStream(self.lm.tokenizer)  # survives preemption

@@ -305,3 +305,100 @@ def test_preemption_admits_starved_request_not_requeued_victim(lm):
         assert toks
     assert engine.stats.requests_preempted == 2
     assert engine.stats.requests_completed == 3
+
+
+class TestChunkedPrefill:
+    """Chunked admission: long prompts prefill in chunks (first fresh, rest
+    through the cached-continuation path) with decode interleaved — a long
+    prompt no longer stalls running streams for its whole prefill."""
+
+    def test_chunked_tokens_match_whole_prompt(self, lm):
+        prompt = list(np.random.default_rng(7).integers(1, 500, 50))
+        expected = lm.generate(prompt, GenerationConfig.greedy(6))
+        engine = InferenceEngine(lm, max_slots=2, max_seq_len=256,
+                                 prefill_chunk=16)
+        q = engine.submit(greedy_request("r1", prompt, n=6))
+        run_until_idle(engine)
+        toks, reason = collect(q)
+        assert toks == expected
+        assert reason == FinishReason.LENGTH
+
+    def test_short_prompts_take_the_single_dispatch_path(self, lm):
+        engine = InferenceEngine(lm, max_slots=1, max_seq_len=128,
+                                 prefill_chunk=64)
+        calls = []
+        orig = engine.lm.prefill_slot_continue
+        engine.lm.prefill_slot_continue = (
+            lambda *a, **k: (calls.append(1), orig(*a, **k))[1]
+        )
+        q = engine.submit(greedy_request("r1", [1, 2, 3], n=4))
+        run_until_idle(engine)
+        collect(q)
+        engine.lm.prefill_slot_continue = orig
+        assert calls == []  # 3 tokens <= chunk: no continuation chunks
+
+    def test_decode_interleaves_between_chunks(self, lm):
+        """While a long admission is pending, running sequences keep
+        decoding (one block between chunks)."""
+        engine = InferenceEngine(lm, max_slots=2, max_seq_len=256,
+                                 decode_tokens_per_seq=4, prefill_chunk=16)
+        qa = engine.submit(greedy_request("a", [1, 2, 3], n=30))
+        engine.step()  # admit a
+        long_prompt = list(np.random.default_rng(8).integers(1, 500, 64))
+        qb = engine.submit(greedy_request("b", long_prompt, n=4))
+        # drive steps until b is fully admitted; count a's tokens meanwhile
+        steps = 0
+        while engine._pending is None and steps < 10:
+            engine.step()  # picks up b -> starts pending
+            steps += 1
+        a_before = len(engine.slots[0].generated) if engine.slots[0] else 0
+        while engine._pending is not None:
+            engine.step()
+        seq_a = next(s for s in engine.slots if s is not None and s.request_id == "a")
+        assert len(seq_a.generated) > a_before  # a progressed during admission
+        run_until_idle(engine)
+        toks_a, _ = collect(qa)
+        toks_b, _ = collect(qb)
+        exp_a = lm.generate([1, 2, 3], GenerationConfig.greedy(30))
+        exp_b = lm.generate(long_prompt, GenerationConfig.greedy(4))
+        assert toks_a == exp_a  # interleaving never corrupts a's stream
+        assert toks_b == exp_b
+
+    def test_abort_mid_admission_frees_the_slot(self, lm):
+        engine = InferenceEngine(lm, max_slots=1, max_seq_len=256,
+                                 prefill_chunk=16)
+        long_prompt = list(np.random.default_rng(9).integers(1, 500, 64))
+        q1 = engine.submit(greedy_request("r1", long_prompt, n=4))
+        engine.step()  # starts pending admission (first chunk done)
+        assert engine._pending is not None
+        engine.abort("r1")
+        q2 = engine.submit(greedy_request("r2", [5, 6], n=3))
+        run_until_idle(engine)
+        r = q1.get(timeout=10)
+        while not r.finished:
+            r = q1.get(timeout=10)
+        assert r.finish_reason == FinishReason.ABORT
+        toks2, _ = collect(q2)
+        assert toks2 == lm.generate([5, 6], GenerationConfig.greedy(3))
+
+    def test_hybrid_gdn_chunked_matches_whole(self):
+        """Chunked admission through GDN conv/recurrent state continuation."""
+        import torch  # noqa: F401  (oracle fixture needs transformers)
+
+        pytest.importorskip("transformers")
+        from tests.test_qwen3_next_parity import _save_tiny_next
+        import tempfile, pathlib
+
+        from crane_tpu.models.auto import from_pretrained
+
+        d = pathlib.Path(tempfile.mkdtemp())
+        _, ckpt = _save_tiny_next(d)
+        hlm = from_pretrained(ckpt, dtype=jnp.float32)
+        prompt = list(np.random.default_rng(10).integers(1, 150, 40))
+        expected = hlm.generate(prompt, GenerationConfig.greedy(5))
+        engine = InferenceEngine(hlm, max_slots=2, max_seq_len=128,
+                                 prefill_chunk=16)
+        q = engine.submit(greedy_request("r1", prompt, n=5))
+        run_until_idle(engine)
+        toks, _ = collect(q)
+        assert toks == expected
