@@ -43,6 +43,16 @@ def _sampling_from_payload(p: dict, prefix_defaults=True) -> SamplingOptions:
     )
 
 
+def _stop_from_payload(p: dict) -> tuple:
+    """OpenAI ``stop``: a string or list of up to 4 strings."""
+    stop = p.get("stop")
+    if stop is None:
+        return ()
+    if isinstance(stop, str):
+        stop = [stop]
+    return tuple(s for s in stop if isinstance(s, str) and s)[:4]
+
+
 class Server:
     def __init__(
         self,
@@ -103,6 +113,7 @@ class Server:
             ),
             sampling=_sampling_from_payload(payload),
             eos_token_ids=self.eos_token_ids,
+            stop_strings=_stop_from_payload(payload),
         )
 
     # -- misc endpoints ------------------------------------------------------

@@ -423,8 +423,10 @@ class InferenceEngine:
         row's live offset. The final chunk's logits complete admission."""
         p = self._pending
         seq = p["seq"]
-        if seq.cancelled or self.slots[seq.slot] is not seq:
-            self._pending = None  # aborted mid-admission; slot already freed
+        if seq.cancelled or seq.slot < 0 or self.slots[seq.slot] is not seq:
+            # aborted or preempted mid-admission; the slot is already freed
+            # and the sequence (if preempted) re-admits from scratch
+            self._pending = None
             return
         ctx, offset = p["ctx"], p["offset"]
         n = min(self.prefill_chunk, len(ctx) - offset)
@@ -494,7 +496,15 @@ class InferenceEngine:
         if seq.detok is not None and not is_eos:
             text = seq.detok.next_token(token)
         if not is_eos:
-            seq.send_token(token, text)
+            if seq.request.stop_strings:
+                out, stopped = seq.filter_stop(text or "")
+                seq.send_token(token, out or None)
+                if stopped:
+                    seq.stopped_by_string = True
+                    self._finish(seq, FinishReason.STOP)
+                    return False
+            else:
+                seq.send_token(token, text)
         if reason is not None:
             self._finish(seq, reason)
             return False
@@ -506,7 +516,12 @@ class InferenceEngine:
             self.slots[seq.slot] = None
         self.scheduler.finish(seq)
         if seq.detok is not None:
-            rest = seq.detok.decode_rest()
+            rest = seq.detok.decode_rest() or ""
+            if seq.stopped_by_string:
+                rest = ""  # everything from the stop match on is dropped
+            elif seq.request.stop_strings:
+                out, stopped = seq.filter_stop(rest)
+                rest = out if stopped else out + seq.flush_stop_buf()
             if rest:
                 seq.response_q.put(
                     EngineResponse(seq.request_id, token=None, text=rest,

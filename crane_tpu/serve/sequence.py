@@ -37,6 +37,11 @@ class EngineRequest:
     max_new_tokens: int = 512
     sampling: SamplingOptions = dataclasses.field(default_factory=SamplingOptions)
     eos_token_ids: tuple[int, ...] = ()
+    # OpenAI ``stop``: generation halts when any of these strings appears in
+    # the decoded output; the matched string and everything after it is
+    # never emitted. (The reference parses this field but never consumes it,
+    # openai_api.rs:45 — here it is implemented.)
+    stop_strings: tuple[str, ...] = ()
 
 
 @dataclasses.dataclass
@@ -65,6 +70,8 @@ class Sequence:
         self.preempted = False
         self.submitted_at = time.monotonic()
         self.first_token_at: Optional[float] = None
+        self.stopped_by_string = False
+        self._stop_buf = ""
 
     @property
     def request_id(self) -> str:
@@ -87,6 +94,33 @@ class Sequence:
         if len(self.generated) >= self.request.max_new_tokens:
             return FinishReason.LENGTH
         return None
+
+    def filter_stop(self, text: str) -> tuple[str, bool]:
+        """Stop-string holdback filter: returns (emittable_text, stopped).
+        Text is buffered so that no prefix of a stop string is ever emitted;
+        on a match the text BEFORE the match is released and everything
+        from the match on is dropped."""
+        ss = self.request.stop_strings
+        if not ss:
+            return text, False
+        self._stop_buf += text
+        for s in ss:
+            i = self._stop_buf.find(s)
+            if i >= 0:
+                out = self._stop_buf[:i]
+                self._stop_buf = ""
+                return out, True
+        keep = max(len(s) for s in ss) - 1
+        if keep <= 0:
+            out, self._stop_buf = self._stop_buf, ""
+            return out, False
+        out = self._stop_buf[:-keep] if len(self._stop_buf) > keep else ""
+        self._stop_buf = self._stop_buf[len(out):]
+        return out, False
+
+    def flush_stop_buf(self) -> str:
+        out, self._stop_buf = self._stop_buf, ""
+        return out
 
     def send_token(self, token: int, text: Optional[str] = None):
         if self.first_token_at is None:

@@ -13,7 +13,12 @@ from crane_tpu.generation.config import GenerationConfig
 from crane_tpu.models.causal_lm import CausalLM
 from crane_tpu.models.init import QWEN3_TINY, init_params
 from crane_tpu.serve.engine import InferenceEngine
-from crane_tpu.serve.sequence import EngineRequest, FinishReason, SamplingOptions
+from crane_tpu.serve.sequence import (
+    EngineRequest,
+    FinishReason,
+    SamplingOptions,
+    Sequence,
+)
 
 
 @pytest.fixture(scope="module")
@@ -402,3 +407,67 @@ class TestChunkedPrefill:
         run_until_idle(engine)
         toks, _ = collect(q)
         assert toks == expected
+
+
+class TestStopStrings:
+    """OpenAI ``stop`` strings, implemented for real (the reference parses
+    the field but never consumes it, openai_api.rs:45): output halts at the
+    first occurrence and the match itself is never emitted, even when the
+    stop string spans token boundaries."""
+
+    class LetterTok:
+        def decode(self, ids, skip_special_tokens=True):
+            return "".join(chr(97 + (i % 26)) for i in ids)
+
+    def _lm(self, lm):
+        lm2 = CausalLM(QWEN3_TINY, lm.params, dtype=jnp.float32,
+                       tokenizer=self.LetterTok())
+        return lm2
+
+    def _run(self, lm2, prompt, n, stop=()):
+        engine = InferenceEngine(lm2, max_slots=2, max_seq_len=128,
+                                 decode_tokens_per_seq=2)
+        req = EngineRequest(
+            request_id="r", prompt_ids=prompt, max_new_tokens=n,
+            sampling=SamplingOptions(do_sample=False, repetition_penalty=1.0),
+            stop_strings=tuple(stop),
+        )
+        q = engine.submit(req)
+        run_until_idle(engine)
+        toks, texts, reason = [], [], None
+        while True:
+            r = q.get(timeout=60)
+            if r.finished:
+                reason = r.finish_reason
+                break
+            if r.token is not None:
+                toks.append(r.token)
+            if r.text:
+                texts.append(r.text)
+        return toks, "".join(texts), reason
+
+    def test_filter_holdback_and_cross_chunk_match(self):
+        req = EngineRequest("x", [1], stop_strings=("XYZ",))
+        seq = Sequence(req, queue.Queue())
+        out1, s1 = seq.filter_stop("abcX")
+        assert not s1 and out1 == "ab"  # holds back len(stop)-1 chars
+        out2, s2 = seq.filter_stop("YZtail")
+        assert s2 and out2 == "c"  # match assembled across chunks
+
+    def test_stop_string_truncates_stream(self, lm):
+        lm2 = self._lm(lm)
+        _, full, _ = self._run(lm2, [3, 14, 15, 9], n=16)
+        assert len(full) >= 8
+        stop = full[4:7]
+        toks, text, reason = self._run(lm2, [3, 14, 15, 9], n=16, stop=[stop])
+        assert reason == FinishReason.STOP
+        assert stop not in text
+        assert text == full[: full.find(stop)]
+
+    def test_no_match_flushes_heldback_tail(self, lm):
+        lm2 = self._lm(lm)
+        _, full, _ = self._run(lm2, [5, 6, 7], n=8)
+        toks, text, reason = self._run(lm2, [5, 6, 7], n=8,
+                                       stop=["£NEVER£"])
+        assert reason == FinishReason.LENGTH
+        assert text == full  # holdback fully flushed at finish
