@@ -406,9 +406,9 @@ def load_kokoro_onnx(model_path: str, *, phonemizer=None) -> KokoroTts:
         raise FileNotFoundError(f"no voices/*.bin under {root}")
 
     if phonemizer is None:
-        from crane_tpu.text.g2p import Phonemizer
+        from crane_tpu.text.g2p import MultilingualPhonemizer
 
-        phonemizer = Phonemizer()
+        phonemizer = MultilingualPhonemizer()  # language routes en*/de*
     return KokoroTts(
         vocab, voices, synthesizer,
         max_seq_len=max_seq_len, phonemizer=phonemizer,

@@ -60,6 +60,25 @@ def _token_content(t) -> Optional[str]:
     return None
 
 
+# Hardcoded Hunyuan chat rendering for checkpoints without a template
+# (reference crane-serve/src/chat_template.rs:63-105): BOS, optional system
+# text + separator, then user/assistant turns with the assistant tag
+# appended for generation. The control tokens use fullwidth bars (U+FF5C)
+# and low lines (U+2581) exactly as the checkpoint's vocab spells them.
+HUNYUAN_CHAT_TEMPLATE = (
+    "<｜hy_begin▁of▁sentence｜>"
+    "{% if messages and messages[0].role == 'system' %}"
+    "{{ messages[0].content }}<｜hy_place▁holder▁no▁3｜>"
+    "{% set loop_messages = messages[1:] %}"
+    "{% else %}{% set loop_messages = messages %}{% endif %}"
+    "{% for m in loop_messages %}"
+    "{% if m.role == 'user' %}<｜hy_User｜>{{ m.content }}"
+    "{% elif m.role == 'assistant' %}<｜hy_Assistant｜>{{ m.content }}"
+    "<｜hy_place▁holder▁no▁2｜>{% endif %}"
+    "{% endfor %}<｜hy_Assistant｜>"
+)
+
+
 class AutoTokenizer:
     """Tokenize / detokenize / chat-template, transformers-compatible."""
 
@@ -105,6 +124,19 @@ class AutoTokenizer:
             if os.path.exists(jinja_path):
                 with open(jinja_path) as f:
                     chat_template = f.read()
+        if chat_template is None:
+            # hardcoded Hunyuan fallback for checkpoints that ship no
+            # template at all (reference chat_template.rs:63-105)
+            model_type = ""
+            mcfg_path = os.path.join(model_dir, "config.json")
+            if os.path.exists(mcfg_path):
+                try:
+                    with open(mcfg_path) as f:
+                        model_type = str(json.load(f).get("model_type", ""))
+                except Exception:
+                    pass
+            if model_type.startswith("hunyuan"):
+                chat_template = HUNYUAN_CHAT_TEMPLATE
         if isinstance(chat_template, list):
             chat_template = {t["name"]: t["template"] for t in chat_template}
 

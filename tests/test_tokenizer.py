@@ -154,3 +154,43 @@ class TestStreamingDetok:
         if rest:
             out += rest
         assert out == text
+
+
+def test_hunyuan_hardcoded_template_fallback(tmp_path):
+    """A Hunyuan checkpoint with NO chat template renders through the
+    hardcoded fallback (reference chat_template.rs:63-105): BOS + system +
+    separator, user/assistant tags, assistant EOS after each reply, and a
+    trailing assistant tag for generation."""
+    import json as _json
+
+    from tokenizers import Tokenizer, models
+
+    from crane_tpu.tokenizer.autotokenizer import AutoTokenizer
+
+    tok = Tokenizer(models.BPE(unk_token=None))
+    tok.save(str(tmp_path / "tokenizer.json"))
+    (tmp_path / "tokenizer_config.json").write_text(_json.dumps({}))
+    (tmp_path / "config.json").write_text(_json.dumps({"model_type": "hunyuan_v1_dense"}))
+    at = AutoTokenizer.from_pretrained(str(tmp_path))
+    out = at.apply_chat_template(
+        [
+            {"role": "system", "content": "SYS"},
+            {"role": "user", "content": "hi"},
+            {"role": "assistant", "content": "yo"},
+            {"role": "user", "content": "again"},
+        ],
+        add_generation_prompt=True,
+    )
+    BOS = "<｜hy_begin▁of▁sentence｜>"
+    USER = "<｜hy_User｜>"
+    ASSI = "<｜hy_Assistant｜>"
+    EOS = "<｜hy_place▁holder▁no▁2｜>"
+    SEP = "<｜hy_place▁holder▁no▁3｜>"
+    assert out == f"{BOS}SYS{SEP}{USER}hi{ASSI}yo{EOS}{USER}again{ASSI}"
+
+    # non-hunyuan checkpoints still raise (no silent wrong template)
+    (tmp_path / "config.json").write_text(_json.dumps({"model_type": "qwen3"}))
+    at2 = AutoTokenizer.from_pretrained(str(tmp_path))
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        at2.apply_chat_template([{"role": "user", "content": "x"}])
