@@ -180,8 +180,7 @@ def _attention(
     use_fused = (
         S == 1
         and jax.default_backend() == "tpu"
-        and cfg.head_dim % 64 == 0
-        and (layer_cache.k.shape[2] * cfg.head_dim) % 128 == 0
+        and cfg.head_dim % 128 == 0  # per-head fp kernel: D is the lane axis
         and T % 256 == 0
         and os.environ.get("CRANE_NO_FP_ATTN") != "1"
     )

@@ -371,8 +371,7 @@ def attention_block(
         and S == 1
         and not hasattr(new_cache, "dequant")
         and extra_mask is None
-        and D % 64 == 0
-        and (Hkv * D) % 128 == 0
+        and D % 128 == 0  # per-head kernel: D is the lane axis
         and new_cache.k.shape[1] % 256 == 0
         and jax.default_backend() == "tpu"
         and os.environ.get("CRANE_NO_FP_ATTN") != "1"
@@ -393,7 +392,7 @@ def attention_block(
             bits, max_t = 16, new_cache.k.shape[1]
         out = quant_decode_attention(
             q, *kv_args, positions[:, 0] + 1,
-            bits=bits, scale=scale, window=window,
+            n_kv_heads=Hkv, bits=bits, scale=scale, window=window,
             logit_softcap=cfg.attn_logit_softcap,
             # largest kernel block that divides the buffer (eligibility
             # guarantees max_t % 256 == 0, but not % 512 — e.g. 768)

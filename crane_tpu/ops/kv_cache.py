@@ -114,9 +114,18 @@ def _quant_symmetric(x: jax.Array, bits: int) -> tuple[jax.Array, jax.Array]:
 class QuantLayerKVCache:
     """int8 / nibble-packed int4 KV cache with per-(token, head) scales.
 
-    k/v codes: ``[B, S_max, H, D]`` int8 (bits=8) or ``[B, S_max, H, D/2]``
-    int8 with two 4-bit codes per byte (bits=4 — half int8's HBM bytes, the
-    reference's 0.31x long-context lever, qwen3_5/kv_cache.rs:209-342).
+    k/v codes are stored FLAT ``[B, S_max, H * stored]`` int8 (stored = D for
+    bits=8, D/2 nibble-packed for bits=4 — half int8's HBM bytes, the
+    reference's 0.31x long-context lever, qwen3_5/kv_cache.rs:209-342);
+    column ``h * stored + j`` is byte ``j`` of head ``h``. Flat storage is a
+    TPU layout decision, not cosmetics: the fused decode kernel consumes
+    ``[T, H*stored]`` blocks, and a ``[B,S,H,d]`` -> ``[B,S,H*d]`` reshape on
+    TPU is a full relayout copy of the buffer (tiled layouts fold all major
+    dims into sublanes, so merging the two minor dims reorders bytes) — at
+    32K max_seq that copy cost 16 MB *per layer per decode step* and XLA's
+    layout assignment additionally ping-ponged the scan carry. Storing the
+    kernel's shape makes append + fused attention copy-free.
+
     k_scale/v_scale: ``[B, H, S_max]`` f32 — head-major so the fused decode
     attention kernel reads a scale row per (batch, head) block without a
     per-step relayout. Dequantize-on-read; at decode time the dequant is
@@ -129,13 +138,14 @@ class QuantLayerKVCache:
     k_scale: jax.Array
     v_scale: jax.Array
     bits: int = dataclasses.field(metadata=dict(static=True), default=8)
+    n_kv_heads: int = dataclasses.field(metadata=dict(static=True), default=1)
 
     @staticmethod
     def empty(batch: int, max_seq: int, n_kv_heads: int, head_dim: int, dtype=None, *, bits: int = 8) -> "QuantLayerKVCache":
         del dtype  # codes are always int8; kept for signature parity
         assert bits in (4, 8), bits
         stored = head_dim // 2 if bits == 4 else head_dim
-        shape = (batch, max_seq, n_kv_heads, stored)
+        shape = (batch, max_seq, n_kv_heads * stored)
         sshape = (batch, n_kv_heads, max_seq)
         return QuantLayerKVCache(
             k=jnp.zeros(shape, jnp.int8),
@@ -143,6 +153,7 @@ class QuantLayerKVCache:
             k_scale=jnp.zeros(sshape, jnp.float32),
             v_scale=jnp.zeros(sshape, jnp.float32),
             bits=bits,
+            n_kv_heads=n_kv_heads,
         )
 
     @property
@@ -151,14 +162,17 @@ class QuantLayerKVCache:
 
     @property
     def head_dim(self) -> int:
-        return self.k.shape[3] * 2 if self.bits == 4 else self.k.shape[3]
+        stored = self.k.shape[2] // self.n_kv_heads
+        return stored * 2 if self.bits == 4 else stored
 
     def _encode(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
         q, s = _quant_symmetric(x, self.bits)
         if self.bits == 4:
             q = pack_int4(q)
-        # [B, S, H, 1] -> head-major [B, H, S]
-        return q, s[..., 0].transpose(0, 2, 1)
+        B, S = q.shape[0], q.shape[1]
+        # codes flatten to the storage layout (cheap: S_new tokens, not the
+        # buffer); scales [B, S, H, 1] -> head-major [B, H, S]
+        return q.reshape(B, S, -1), s[..., 0].transpose(0, 2, 1)
 
     def update(
         self,
@@ -171,36 +185,38 @@ class QuantLayerKVCache:
         vq, vs = self._encode(v_new)
         if positions.ndim == 0:
             r = jnp.asarray(0 if row is None else row, jnp.int32)
-            at = (r, positions, 0, 0)
+            at = (r, positions, 0)
             sat = (r, 0, positions)
-            return QuantLayerKVCache(
+            return dataclasses.replace(
+                self,
                 k=jax.lax.dynamic_update_slice(self.k, kq, at),
                 v=jax.lax.dynamic_update_slice(self.v, vq, at),
                 k_scale=jax.lax.dynamic_update_slice(self.k_scale, ks, sat),
                 v_scale=jax.lax.dynamic_update_slice(self.v_scale, vs, sat),
-                bits=self.bits,
             )
         assert positions.ndim == 1, positions.shape
         # per-row starts; S == 1 is batched decode, S > 1 the speculative
         # verify write
         B, S = k_new.shape[0], k_new.shape[1]
-        H = self.k.shape[2]
+        H = self.n_kv_heads
         b = jnp.arange(B)[:, None]
         p = positions[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
         bh = jnp.arange(B)[:, None, None]
         hh = jnp.arange(H)[None, :, None]
         ph = p[:, None, :]  # [B, 1, S] broadcast over heads
-        return QuantLayerKVCache(
+        return dataclasses.replace(
+            self,
             k=self.k.at[b, p].set(kq, mode="drop"),
             v=self.v.at[b, p].set(vq, mode="drop"),
             k_scale=self.k_scale.at[bh, hh, ph].set(ks, mode="drop"),
             v_scale=self.v_scale.at[bh, hh, ph].set(vs, mode="drop"),
-            bits=self.bits,
         )
 
     def dequant(self, compute_dtype=jnp.bfloat16) -> tuple[jax.Array, jax.Array]:
         """XLA reference read path: full dequantized K/V ``[B, S, H, D]``."""
-        kc, vc = self.k, self.v
+        B, T = self.k.shape[0], self.k.shape[1]
+        kc = self.k.reshape(B, T, self.n_kv_heads, -1)
+        vc = self.v.reshape(B, T, self.n_kv_heads, -1)
         if self.bits == 4:
             kc, vc = unpack_int4(kc), unpack_int4(vc)
         ks = self.k_scale.transpose(0, 2, 1)[..., None]  # [B, S, H, 1]

@@ -18,8 +18,14 @@ bf16 XLA 110 us — 1.75x, both at ~1.1 TB/s effective):
   attention is bandwidth-bound.
 - Scales fold into logits, not operands: per-token scale s_t is constant
   along head_dim, so ``q . (c_t * s_t) == (q . c_t) * s_t``; scales arrive
-  pre-expanded to ``[Hq, T]`` and multiply the logit matrix elementwise.
-  More accurate than the XLA path (which rounds ``c*s`` to bf16 pre-matmul).
+  per-kv-head ``[Hkv, T]`` (the storage layout) and are expanded to query
+  rows IN-KERNEL by a tiny 0/1-matrix MXU dot — a host-side repeat would
+  materialize an ``[Hq, T]`` f32 plane per layer per step. More accurate
+  than the XLA path (which rounds ``c*s`` to bf16 pre-matmul).
+- Code operands are the cache's flat ``[B, T, Hkv*stored]`` buffers read AS
+  STORED: any ``[B,T,H,d] -> [B,T,H*d]`` reshape on TPU is a relayout copy
+  of the whole buffer (tiling folds major dims into sublanes), which would
+  recur every decode step.
 - Everything stays [Hq-on-sublanes, T-or-D-on-lanes]: no in-kernel reshapes
   or transposes (Mosaic cannot legalize lane-splitting reshapes).
 - int4 uses arithmetic packing (``byte = 16*hi + lo``): unpack is
@@ -49,11 +55,7 @@ def _kernel(
     lens_ref, qbd_ref, k_ref, v_ref, *rest,
     bits, scale, block_t, window, logit_softcap, n_kv_heads, group, head_dim,
 ):
-    if bits == 16:  # fp cache: no scale planes ride along
-        ks_ref = vs_ref = None
-        o_ref, m_scr, l_scr, acc_scr = rest
-    else:
-        ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = rest
+    ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = rest
     b = pl.program_id(0)
     j = pl.program_id(1)
     nt = pl.num_programs(1)
@@ -91,10 +93,19 @@ def _kernel(
                 preferred_element_type=jnp.float32,
             )
 
-        if ks_ref is None:
-            s = s * scale
-        else:
-            s = s * (ks_ref[0].astype(jnp.float32) * scale)  # [Hq, Bt] elementwise
+        # expand per-kv-head scales [Hkv, Bt] to query rows [Hq, Bt] with
+        # a 0/1-matrix MXU dot (qbd rows are kv-head-major, G per head) —
+        # Mosaic cannot legalize a sublane-interleaving repeat, and doing
+        # it outside the kernel materialized a [Hq, T] plane every step
+        row_kv = jax.lax.broadcasted_iota(jnp.int32, (Hq, n_kv_heads), 0) // group
+        col_kv = jax.lax.broadcasted_iota(jnp.int32, (Hq, n_kv_heads), 1)
+        expand = (row_kv == col_kv).astype(jnp.float32)
+        ks_full = jax.lax.dot_general(
+            expand, ks_ref[0].astype(jnp.float32),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Hq, Bt]
+        s = s * (ks_full * scale)
         if logit_softcap is not None:
             s = jnp.tanh(s / logit_softcap) * logit_softcap
 
@@ -109,10 +120,12 @@ def _kernel(
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)  # [Hq, 1]
         l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
-        if vs_ref is None:
-            pv = p.astype(qbd.dtype)
-        else:
-            pv = (p * vs_ref[0].astype(jnp.float32)).astype(qbd.dtype)
+        vs_full = jax.lax.dot_general(
+            expand, vs_ref[0].astype(jnp.float32),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Hq, Bt]
+        pv = (p * vs_full).astype(qbd.dtype)
         if bits == 4:
             acc_scr[:, :half] = acc_scr[:, :half] * alpha + jax.lax.dot_general(
                 pv, v_lo.astype(qbd.dtype), (((1,), (0,)), ((), ())),
@@ -145,9 +158,122 @@ def _kernel(
                 o_ref[0, h] = a[r, h * head_dim : (h + 1) * head_dim].astype(o_ref.dtype)
 
 
+def _fp_kernel(
+    lens_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
+    scale, block_t, window, logit_softcap, n_kv_heads, group,
+):
+    """bits=16 variant: reads the fp cache ``[B, T, H, D]`` AS STORED via
+    full-head ``(1, Bt, H, D)`` blocks and loops kv heads in-kernel with
+    static ref slices. The flat one-dot design would need a host-side
+    ``[B,T,H,D] -> [B,T,H*D]`` reshape, which on TPU is a relayout copy of
+    the whole buffer every decode step (at 32K max_seq: 67 MB per layer per
+    token)."""
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    nt = pl.num_programs(1)
+    lv = lens_ref[b]
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    @pl.when(j * block_t < lv)
+    def _():
+        tok = jax.lax.broadcasted_iota(
+            jnp.int32, (group, block_t), 1) + j * block_t
+        valid = tok < lv
+        if window is not None:
+            valid = valid & (tok >= lv - window)
+        for h in range(n_kv_heads):
+            r = slice(h * group, (h + 1) * group)
+            qh = q_ref[0, r, :]  # [G, D]
+            kh = k_ref[0, :, h, :]  # [Bt, D] (strided VMEM read)
+            s = jax.lax.dot_general(
+                qh, kh.astype(qh.dtype), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # [G, Bt]
+            if logit_softcap is not None:
+                s = jnp.tanh(s / logit_softcap) * logit_softcap
+            s = jnp.where(valid, s, _NEG_INF)
+
+            m_prev = m_scr[r, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_prev - m_new)  # [G, 1]
+            l_scr[r, :] = l_scr[r, :] * alpha + jnp.sum(p, axis=1, keepdims=True)
+            acc_scr[r, :] = acc_scr[r, :] * alpha + jax.lax.dot_general(
+                p.astype(qh.dtype), v_ref[0, :, h, :].astype(qh.dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_scr[r, :] = jnp.broadcast_to(m_new, (group, m_scr.shape[1]))
+
+    @pl.when(j == nt - 1)
+    def _():
+        denom = l_scr[:, :1]
+        denom = jnp.where(denom == 0.0, 1.0, denom)  # empty row
+        o_ref[0] = (acc_scr[:] / denom).astype(o_ref.dtype)
+
+
+def _fp_decode_attention(q, k, v, kv_valid, *, scale, window, logit_softcap,
+                         block_t, interpret):
+    """Fused decode attention over an fp ``[B, T, Hkv, D]`` cache, read in
+    its storage layout (no flatten)."""
+    B, S, Hq, D = q.shape
+    T, Hkv = k.shape[1], k.shape[2]
+    G = Hq // Hkv
+    block_t = min(block_t, T)
+    assert T % block_t == 0, (T, block_t)
+    nt = T // block_t
+
+    kv_valid = kv_valid.astype(jnp.int32)
+
+    def kv_index(b, j, lens):
+        last = jnp.maximum(pl.cdiv(lens[b], block_t) - 1, 0)
+        return (b, jnp.minimum(j, last), 0, 0)
+
+    kernel = functools.partial(
+        _fp_kernel, scale=scale, block_t=block_t,
+        window=window, logit_softcap=logit_softcap,
+        n_kv_heads=Hkv, group=G,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, nt),
+            in_specs=[
+                pl.BlockSpec((1, Hq, D), lambda b, j, lens: (b, 0, 0)),
+                pl.BlockSpec((1, block_t, Hkv, D), kv_index),
+                pl.BlockSpec((1, block_t, Hkv, D), kv_index),
+            ],
+            out_specs=pl.BlockSpec((1, Hq, D), lambda b, j, lens: (b, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((Hq, 128), jnp.float32),  # running max
+                pltpu.VMEM((Hq, 128), jnp.float32),  # running sum
+                pltpu.VMEM((Hq, D), jnp.float32),  # output accumulator
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=int(2 * 2 * B * Hq * T * D),
+            bytes_accessed=int(2 * B * T * Hkv * D * k.dtype.itemsize
+                               + B * Hq * D * 2),
+            transcendentals=int(B * Hq * T),
+        ),
+        interpret=interpret,
+    )(kv_valid, q[:, 0], k, v)
+    return out[:, None]
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("bits", "scale", "window", "logit_softcap", "block_t", "interpret"),
+    static_argnames=(
+        "n_kv_heads", "bits", "scale", "window", "logit_softcap", "block_t",
+        "interpret",
+    ),
 )
 def quant_decode_attention(
     q: jax.Array,
@@ -157,6 +283,7 @@ def quant_decode_attention(
     v_scale: jax.Array,
     kv_valid: jax.Array,
     *,
+    n_kv_heads: int | None = None,
     bits: int,
     scale: float,
     window: int | None = None,
@@ -166,34 +293,44 @@ def quant_decode_attention(
 ) -> jax.Array:
     """Fused dequant + GQA decode attention over a quantized OR fp KV cache.
 
-    q ``[B, 1, Hq, D]``; k/v codes ``[B, T, Hkv, D]`` int8 or
-    ``[B, T, Hkv, D/2]`` packed int4 (:func:`crane_tpu.ops.kv_cache.pack_int4`);
-    scales ``[B, Hkv, T]`` f32; ``kv_valid [B]`` int32 = per-row count of
-    valid KV slots (the query attends to ``[max(0, valid-window), valid)``).
+    q ``[B, 1, Hq, D]``; k/v codes FLAT ``[B, T, Hkv * stored]`` int8
+    (stored = D, or D/2 packed int4 — the cache's storage layout,
+    :class:`crane_tpu.ops.kv_cache.QuantLayerKVCache`) with ``n_kv_heads``
+    given statically; scales ``[B, Hkv, T]`` f32 (expanded to query heads
+    inside the kernel); ``kv_valid [B]`` int32 = per-row count of valid KV
+    slots (the query attends to ``[max(0, valid-window), valid)``).
     Returns ``[B, 1, Hq, D]`` in q.dtype.
 
-    ``bits=16``: k/v are bf16/f32 cache buffers and ``k_scale``/``v_scale``
-    are ignored (pass None) — same one-flat-MXU-dot structure and the same
-    live-length index-map clamp (a row at length L moves ceil(L/block_t)
-    blocks regardless of the allocated max_seq), which is what the plain XLA
-    decode path cannot do.
+    The flat operand layout is the point: the kernel's BlockSpecs read the
+    cache buffers AS STORED — no host-side reshape, which on TPU is a full
+    relayout copy of the buffer per decode step (tiled layouts reorder bytes
+    when minor dims merge).
+
+    ``bits=16``: k/v are bf16/f32 cache buffers ``[B, T, Hkv, D]`` read AS
+    STORED by the per-head :func:`_fp_kernel` grid (no flatten) and
+    ``k_scale``/``v_scale`` are ignored (pass None) — same live-length
+    index-map clamp (a row at length L moves ceil(L/block_t) blocks
+    regardless of the allocated max_seq), which is what the plain XLA decode
+    path cannot do.
     """
     B, S, Hq, D = q.shape
     assert S == 1, "decode kernel: S must be 1"
-    T, Hkv = k_codes.shape[1], k_codes.shape[2]
-    dp = k_codes.shape[3]
+    T = k_codes.shape[1]
+    if bits == 16:
+        assert k_codes.ndim == 4, "fp cache buffers are [B, T, Hkv, D]"
+        return _fp_decode_attention(
+            q, k_codes, v_codes, kv_valid, scale=scale, window=window,
+            logit_softcap=logit_softcap, block_t=block_t, interpret=interpret,
+        )
+    assert k_codes.ndim == 3, "quant cache codes are flat [B, T, Hkv*stored]"
+    Hkv = n_kv_heads
+    assert Hkv is not None, "n_kv_heads is required for quantized caches"
+    dp = k_codes.shape[2] // Hkv
+    k2, v2 = k_codes, v_codes
     G = Hq // Hkv
     block_t = min(block_t, T)
     assert T % block_t == 0, (T, block_t)
     nt = T // block_t
-
-    # flat codes (free reshape of the contiguous cache buffer)
-    k2 = k_codes.reshape(B, T, Hkv * dp)
-    v2 = v_codes.reshape(B, T, Hkv * dp)
-    if bits != 16:
-        # scales expanded to query heads, [B, Hq, T]
-        ksx = jnp.repeat(k_scale, G, axis=1)
-        vsx = jnp.repeat(v_scale, G, axis=1)
 
     # block-diagonal q [B, Hq, Hkv*D]; for int4 the column layout matches the
     # kernel's split unpack: [all-heads lo dims | all-heads hi dims]
@@ -233,15 +370,12 @@ def quant_decode_attention(
         pl.BlockSpec((1, block_t, Hkv * dp), kv_index),
         pl.BlockSpec((1, block_t, Hkv * dp), kv_index),
     ]
-    operands = [kv_valid, qbd, k2, v2]
-    kv_elem = k_codes.dtype.itemsize  # bf16/f32 cache vs int8 code storage
-    per_tok_bytes = Hkv * dp * kv_elem + (0 if bits == 16 else Hkv * 4)
-    if bits != 16:
-        in_specs += [
-            pl.BlockSpec((1, Hq, block_t), sc_index),
-            pl.BlockSpec((1, Hq, block_t), sc_index),
-        ]
-        operands += [ksx, vsx]
+    per_tok_bytes = Hkv * dp + Hkv * 4  # int8 codes + f32 scale planes
+    in_specs += [
+        pl.BlockSpec((1, Hkv, block_t), sc_index),
+        pl.BlockSpec((1, Hkv, block_t), sc_index),
+    ]
+    operands = [kv_valid, qbd, k2, v2, k_scale, v_scale]
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(

@@ -24,15 +24,40 @@ from crane_tpu.parallel.sharding import cache_partition_spec, shard_params
 
 def shard_cache(cache, mesh: Mesh):
     """Distribute a KVCache pytree: kv heads over ``tp``, slot batch over
-    ``dp`` (per-layer scale planes and length vectors replicate)."""
+    ``dp`` (per-layer length vectors replicate). Quantized layer caches
+    store codes FLAT ``[B, S, H*stored]`` — the head-major feature axis
+    shards over ``tp`` the same way, and scale planes ``[B, H, S]`` shard
+    their head axis."""
+    from crane_tpu.ops.kv_cache import QuantLayerKVCache
+
     spec = cache_partition_spec()
+    quant_leaf_specs = {
+        "k": P("dp", None, "tp"), "v": P("dp", None, "tp"),
+        "k_scale": P("dp", "tp", None), "v_scale": P("dp", "tp", None),
+    }
 
-    def put(x):
-        if hasattr(x, "ndim") and x.ndim == 4:  # [B, S, H, D] buffers
-            return jax.device_put(x, NamedSharding(mesh, spec))
-        return jax.device_put(x, NamedSharding(mesh, P()))
+    def put_layer(layer):
+        if isinstance(layer, QuantLayerKVCache):
+            import dataclasses
 
-    return jax.tree.map(put, cache)
+            return dataclasses.replace(layer, **{
+                name: jax.device_put(
+                    getattr(layer, name), NamedSharding(mesh, s))
+                for name, s in quant_leaf_specs.items()
+            })
+
+        def put(x):
+            if hasattr(x, "ndim") and x.ndim == 4:  # [B, S, H, D] buffers
+                return jax.device_put(x, NamedSharding(mesh, spec))
+            return jax.device_put(x, NamedSharding(mesh, P()))
+
+        return jax.tree.map(put, layer)
+
+    out = jax.tree.map(
+        put_layer, cache,
+        is_leaf=lambda x: isinstance(x, QuantLayerKVCache),
+    )
+    return out
 
 
 class ShardedCausalLM(CausalLM):

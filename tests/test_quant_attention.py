@@ -85,7 +85,7 @@ def test_kernel_matches_xla_dequant_path(bits):
     scale = 0.125
     out = quant_decode_attention(
         q, cache.k, cache.v, cache.k_scale, cache.v_scale, lengths,
-        bits=bits, scale=scale, block_t=128, interpret=True,
+        n_kv_heads=2, bits=bits, scale=scale, block_t=128, interpret=True,
     )
     ref = _reference_decode(q, cache, (lengths - 1)[:, None], scale=scale)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
@@ -95,7 +95,7 @@ def test_kernel_window_and_softcap():
     q, cache, lengths = _setup(8, T=256)
     out = quant_decode_attention(
         q, cache.k, cache.v, cache.k_scale, cache.v_scale, lengths,
-        bits=8, scale=0.125, window=64, logit_softcap=30.0,
+        n_kv_heads=2, bits=8, scale=0.125, window=64, logit_softcap=30.0,
         block_t=128, interpret=True,
     )
     ref = _reference_decode(
@@ -109,7 +109,7 @@ def test_kernel_empty_row_is_finite():
     lengths = jnp.asarray(np.array([0, 5], dtype=np.int32))
     out = quant_decode_attention(
         q, cache.k, cache.v, cache.k_scale, cache.v_scale, lengths,
-        bits=8, scale=0.125, block_t=128, interpret=True,
+        n_kv_heads=2, bits=8, scale=0.125, block_t=128, interpret=True,
     )
     assert np.all(np.isfinite(np.asarray(out)))
     np.testing.assert_array_equal(np.asarray(out[0]), 0.0)
@@ -120,7 +120,7 @@ def test_kernel_ragged_batch():
     lengths = jnp.asarray(np.array([1, 389], dtype=np.int32))
     out = quant_decode_attention(
         q, cache.k, cache.v, cache.k_scale, cache.v_scale, lengths,
-        bits=4, scale=0.1, block_t=128, interpret=True,
+        n_kv_heads=2, bits=4, scale=0.1, block_t=128, interpret=True,
     )
     ref = _reference_decode(q, cache, (lengths - 1)[:, None], scale=0.1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
@@ -141,7 +141,7 @@ def test_decode_after_prefill_matches_full_recompute():
     lengths = jnp.asarray(np.array([41], dtype=np.int32))
     out = quant_decode_attention(
         q, cache.k, cache.v, cache.k_scale, cache.v_scale, lengths,
-        bits=4, scale=D**-0.5, block_t=128, interpret=True,
+        n_kv_heads=2, bits=4, scale=D**-0.5, block_t=128, interpret=True,
     )
     ref = _reference_decode(q, cache, (lengths - 1)[:, None], scale=D**-0.5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)

@@ -89,7 +89,7 @@ def test_quant_decode_attention_vs_xla_on_chip(bits):
     q = rng(B, 1, Hq, D, seed=9)
     got = quant_decode_attention(
         q, cache.k, cache.v, cache.k_scale, cache.v_scale, valid,
-        bits=bits, scale=D ** -0.5, block_t=256,
+        n_kv_heads=Hkv, bits=bits, scale=D ** -0.5, block_t=256,
     )
     kd, vd = cache.dequant(jnp.bfloat16)
     ref = gqa_attention(q, kd, vd, (valid - 1)[:, None], scale=D ** -0.5)
