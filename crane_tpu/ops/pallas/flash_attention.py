@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import PartitionSpec as P
 
 _NEG_INF = -1e30
 
@@ -103,24 +104,10 @@ def _flash_kernel(*refs, scale, block_q, block_k, window, softcap, segmented):
         o_ref[0, 0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("scale", "block_q", "block_k", "window", "softcap",
-                     "interpret"),
-)
-def flash_attention_causal(
-    q: jax.Array,
-    k: jax.Array,
-    v: jax.Array,
-    segments: jax.Array | None = None,
-    *,
-    scale: float,
-    block_q: int = 256,
-    block_k: int = 512,
-    window: int | None = None,
-    softcap: float | None = None,
-    interpret: bool = False,
-) -> jax.Array:
+def _flash_causal_impl(
+    q, k, v, segments, *,
+    scale, block_q, block_k, window, softcap, interpret,
+):
     """Causal GQA flash attention, optionally sliding-window and softcapped.
 
     q ``[B, S, Hq, D]``, k/v ``[B, S, Hkv, D]`` (fresh prefill: positions
@@ -222,6 +209,67 @@ def flash_attention_causal(
     return out[:, :, :S].transpose(0, 2, 1, 3)
 
 
+@functools.lru_cache(maxsize=None)
+def _partitioned_causal(Hkv, G, segmented, scale, block_q, block_k, window,
+                        softcap, interpret):
+    from crane_tpu.ops.pallas.partitioning import make_head_partitioned
+
+    kwargs = dict(scale=scale, block_q=block_q, block_k=block_k,
+                  window=window, softcap=softcap, interpret=interpret)
+    qspec = lambda b, h: P(b, None, h, None)
+    if segmented:
+        def fn(q, k, v, seg):
+            return _flash_causal_impl(q, k, v, seg, **kwargs)
+        templates = [qspec, qspec, qspec, lambda b, h: P(b, None), qspec]
+        rule = "b s (h g) d, b t h d, b t h d, b s -> b s (h g) d"
+    else:
+        def fn(q, k, v):
+            return _flash_causal_impl(q, k, v, None, **kwargs)
+        templates = [qspec, qspec, qspec, qspec]
+        rule = "b s (h g) d, b t h d, b t h d -> b s (h g) d"
+    return make_head_partitioned(
+        "flash_attention_causal", fn,
+        templates=templates,
+        batch_sources=[(0, 0), (1, 0)],
+        head_sources=[(1, 2), (0, 2)],
+        n_heads_total=Hkv,
+        rule=rule,
+        need_replication_factors=("s", "g", "d", "t"),
+        factor_sizes=dict(g=G),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "block_q", "block_k", "window", "softcap",
+                     "interpret"),
+)
+def flash_attention_causal(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    segments: jax.Array | None = None,
+    *,
+    scale: float,
+    block_q: int = 256,
+    block_k: int = 512,
+    window: int | None = None,
+    softcap: float | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Causal GQA flash attention (see :func:`_flash_causal_impl` for the
+    full contract). Under a sharded jit the call partitions over the
+    (batch, kv-head) mesh axes with zero collectives
+    (``ops/pallas/partitioning.py``) instead of being replicated."""
+    Hkv = k.shape[2]
+    fn = _partitioned_causal(
+        Hkv, q.shape[2] // Hkv, segments is not None, scale, block_q,
+        block_k, window, softcap, interpret)
+    if segments is None:
+        return fn(q, k, v)
+    return fn(q, k, v, segments)
+
+
 # ── cached-continuation prefill ─────────────────────────────────────────────
 
 
@@ -282,24 +330,10 @@ def _cached_kernel(
         o_ref[0, 0] = (acc_scr[:] / denom).astype(o_ref.dtype)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("scale", "block_q", "block_k", "window", "softcap",
-                     "interpret"),
-)
-def flash_attention_cached(
-    q: jax.Array,
-    k_cache: jax.Array,
-    v_cache: jax.Array,
-    positions: jax.Array,
-    *,
-    scale: float,
-    block_q: int = 256,
-    block_k: int = 512,
-    window: int | None = None,
-    softcap: float | None = None,
-    interpret: bool = False,
-) -> jax.Array:
+def _flash_cached_impl(
+    q, k_cache, v_cache, positions, *,
+    scale, block_q, block_k, window, softcap, interpret,
+):
     """Causal GQA flash attention for a continuation chunk over cache buffers.
 
     q ``[B, S, Hq, D]`` — the new chunk; k/v ``[B, T, Hkv, D]`` — the FULL
@@ -378,3 +412,54 @@ def flash_attention_cached(
     )(pos, qt, kt, vt, pos)
 
     return out[:, :, :S].transpose(0, 2, 1, 3)
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_cached(Hkv, G, scale, block_q, block_k, window, softcap,
+                        interpret):
+    from crane_tpu.ops.pallas.partitioning import make_head_partitioned
+
+    def fn(q, k, v, pos):
+        return _flash_cached_impl(
+            q, k, v, pos, scale=scale, block_q=block_q, block_k=block_k,
+            window=window, softcap=softcap, interpret=interpret)
+
+    qspec = lambda b, h: P(b, None, h, None)
+    return make_head_partitioned(
+        "flash_attention_cached", fn,
+        templates=[qspec, qspec, qspec, lambda b, h: P(b, None), qspec],
+        batch_sources=[(0, 0), (1, 0)],
+        head_sources=[(1, 2), (0, 2)],
+        n_heads_total=Hkv,
+        rule="b s (h g) d, b t h d, b t h d, b s -> b s (h g) d",
+        need_replication_factors=("s", "g", "d", "t"),
+        factor_sizes=dict(g=G),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "block_q", "block_k", "window", "softcap",
+                     "interpret"),
+)
+def flash_attention_cached(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    positions: jax.Array,
+    *,
+    scale: float,
+    block_q: int = 256,
+    block_k: int = 512,
+    window: int | None = None,
+    softcap: float | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Cached-continuation flash attention (contract in
+    :func:`_flash_cached_impl`). Under a sharded jit the call partitions
+    over the (batch, kv-head) mesh axes with zero collectives."""
+    Hkv = k_cache.shape[2]
+    fn = _partitioned_cached(
+        Hkv, q.shape[2] // Hkv, scale, block_q, block_k, window, softcap,
+        interpret)
+    return fn(q, k_cache, v_cache, positions)

@@ -47,6 +47,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import PartitionSpec as P
 
 _NEG_INF = -1e30
 
@@ -268,63 +269,16 @@ def _fp_decode_attention(q, k, v, kv_valid, *, scale, window, logit_softcap,
     return out[:, None]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "n_kv_heads", "bits", "scale", "window", "logit_softcap", "block_t",
-        "interpret",
-    ),
-)
-def quant_decode_attention(
-    q: jax.Array,
-    k_codes: jax.Array,
-    v_codes: jax.Array,
-    k_scale: jax.Array,
-    v_scale: jax.Array,
-    kv_valid: jax.Array,
-    *,
-    n_kv_heads: int | None = None,
-    bits: int,
-    scale: float,
-    window: int | None = None,
-    logit_softcap: float | None = None,
-    block_t: int = 512,
-    interpret: bool = False,
-) -> jax.Array:
-    """Fused dequant + GQA decode attention over a quantized OR fp KV cache.
-
-    q ``[B, 1, Hq, D]``; k/v codes FLAT ``[B, T, Hkv * stored]`` int8
-    (stored = D, or D/2 packed int4 — the cache's storage layout,
-    :class:`crane_tpu.ops.kv_cache.QuantLayerKVCache`) with ``n_kv_heads``
-    given statically; scales ``[B, Hkv, T]`` f32 (expanded to query heads
-    inside the kernel); ``kv_valid [B]`` int32 = per-row count of valid KV
-    slots (the query attends to ``[max(0, valid-window), valid)``).
-    Returns ``[B, 1, Hq, D]`` in q.dtype.
-
-    The flat operand layout is the point: the kernel's BlockSpecs read the
-    cache buffers AS STORED — no host-side reshape, which on TPU is a full
-    relayout copy of the buffer per decode step (tiled layouts reorder bytes
-    when minor dims merge).
-
-    ``bits=16``: k/v are bf16/f32 cache buffers ``[B, T, Hkv, D]`` read AS
-    STORED by the per-head :func:`_fp_kernel` grid (no flatten) and
-    ``k_scale``/``v_scale`` are ignored (pass None) — same live-length
-    index-map clamp (a row at length L moves ceil(L/block_t) blocks
-    regardless of the allocated max_seq), which is what the plain XLA decode
-    path cannot do.
-    """
+def _quant_decode_attention(
+    q, k_codes, v_codes, k_scale, v_scale, kv_valid, *,
+    bits, scale, window, logit_softcap, block_t, interpret,
+):
+    """Quantized-cache kernel impl. ``n_kv_heads`` comes from the scale
+    plane's shape (``k_scale [B, Hkv, T]``) so the SPMD partitioner can call
+    this same function with shard-local shapes."""
     B, S, Hq, D = q.shape
-    assert S == 1, "decode kernel: S must be 1"
     T = k_codes.shape[1]
-    if bits == 16:
-        assert k_codes.ndim == 4, "fp cache buffers are [B, T, Hkv, D]"
-        return _fp_decode_attention(
-            q, k_codes, v_codes, kv_valid, scale=scale, window=window,
-            logit_softcap=logit_softcap, block_t=block_t, interpret=interpret,
-        )
-    assert k_codes.ndim == 3, "quant cache codes are flat [B, T, Hkv*stored]"
-    Hkv = n_kv_heads
-    assert Hkv is not None, "n_kv_heads is required for quantized caches"
+    Hkv = k_scale.shape[1]
     dp = k_codes.shape[2] // Hkv
     k2, v2 = k_codes, v_codes
     G = Hq // Hkv
@@ -399,3 +353,129 @@ def quant_decode_attention(
     )(*operands)
 
     return out.reshape(B, 1, Hq, D)
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_quant(Hkv, G, dp, bits, scale, window, logit_softcap,
+                       block_t, interpret):
+    from crane_tpu.ops.pallas.partitioning import make_head_partitioned
+
+    def fn(q, k, v, ks, vs, valid):
+        return _quant_decode_attention(
+            q, k, v, ks, vs, valid, bits=bits, scale=scale, window=window,
+            logit_softcap=logit_softcap, block_t=block_t, interpret=interpret)
+
+    return make_head_partitioned(
+        "quant_decode_attention", fn,
+        templates=[
+            lambda b, h: P(b, None, h, None),   # q [B, 1, Hq, D]
+            lambda b, h: P(b, None, h),         # k codes [B, T, Hkv*dp]
+            lambda b, h: P(b, None, h),         # v codes
+            lambda b, h: P(b, h, None),         # k_scale [B, Hkv, T]
+            lambda b, h: P(b, h, None),         # v_scale
+            lambda b, h: P(b),                  # kv_valid [B]
+            lambda b, h: P(b, None, h, None),   # out
+        ],
+        batch_sources=[(0, 0), (1, 0)],
+        head_sources=[(3, 1), (1, 2), (0, 2)],
+        n_heads_total=Hkv,
+        rule="b s (h g) d, b t (h c), b t (h c), b h t2, b h t2, b"
+             " -> b s (h g) d",
+        need_replication_factors=("s", "g", "d", "t", "c", "t2"),
+        factor_sizes=dict(g=G, c=dp),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_fp(Hkv, G, scale, window, logit_softcap, block_t, interpret):
+    from crane_tpu.ops.pallas.partitioning import make_head_partitioned
+
+    def fn(q, k, v, valid):
+        return _fp_decode_attention(
+            q, k, v, valid, scale=scale, window=window,
+            logit_softcap=logit_softcap, block_t=block_t, interpret=interpret)
+
+    return make_head_partitioned(
+        "fp_decode_attention", fn,
+        templates=[
+            lambda b, h: P(b, None, h, None),      # q [B, 1, Hq, D]
+            lambda b, h: P(b, None, h, None),      # k [B, T, Hkv, D]
+            lambda b, h: P(b, None, h, None),      # v
+            lambda b, h: P(b),                     # kv_valid [B]
+            lambda b, h: P(b, None, h, None),      # out
+        ],
+        batch_sources=[(0, 0), (1, 0)],
+        head_sources=[(1, 2), (0, 2)],
+        n_heads_total=Hkv,
+        rule="b s (h g) d, b t h d, b t h d, b -> b s (h g) d",
+        need_replication_factors=("s", "g", "d", "t"),
+        factor_sizes=dict(g=G),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_kv_heads", "bits", "scale", "window", "logit_softcap", "block_t",
+        "interpret",
+    ),
+)
+def quant_decode_attention(
+    q: jax.Array,
+    k_codes: jax.Array,
+    v_codes: jax.Array,
+    k_scale: jax.Array,
+    v_scale: jax.Array,
+    kv_valid: jax.Array,
+    *,
+    n_kv_heads: int | None = None,
+    bits: int,
+    scale: float,
+    window: int | None = None,
+    logit_softcap: float | None = None,
+    block_t: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused dequant + GQA decode attention over a quantized OR fp KV cache.
+
+    q ``[B, 1, Hq, D]``; k/v codes FLAT ``[B, T, Hkv * stored]`` int8
+    (stored = D, or D/2 packed int4 — the cache's storage layout,
+    :class:`crane_tpu.ops.kv_cache.QuantLayerKVCache`) with ``n_kv_heads``
+    given statically; scales ``[B, Hkv, T]`` f32 (expanded to query heads
+    inside the kernel); ``kv_valid [B]`` int32 = per-row count of valid KV
+    slots (the query attends to ``[max(0, valid-window), valid)``).
+    Returns ``[B, 1, Hq, D]`` in q.dtype.
+
+    The flat operand layout is the point: the kernel's BlockSpecs read the
+    cache buffers AS STORED — no host-side reshape, which on TPU is a full
+    relayout copy of the buffer per decode step (tiled layouts reorder bytes
+    when minor dims merge).
+
+    ``bits=16``: k/v are bf16/f32 cache buffers ``[B, T, Hkv, D]`` read AS
+    STORED by the per-head :func:`_fp_kernel` grid (no flatten) and
+    ``k_scale``/``v_scale`` are ignored (pass None) — same live-length
+    index-map clamp (a row at length L moves ceil(L/block_t) blocks
+    regardless of the allocated max_seq), which is what the plain XLA decode
+    path cannot do.
+
+    Under a sharded jit (``--tp``/``--dp`` serving) the call partitions over
+    the kv-head and batch axes via a custom_partitioning rule instead of
+    being replicated — each device runs this same kernel on its local heads
+    with zero collectives (``ops/pallas/partitioning.py``).
+    """
+    B, S, Hq, D = q.shape
+    assert S == 1, "decode kernel: S must be 1"
+    if bits == 16:
+        assert k_codes.ndim == 4, "fp cache buffers are [B, T, Hkv, D]"
+        Hkv = k_codes.shape[2]
+        fn = _partitioned_fp(
+            Hkv, Hq // Hkv, scale, window, logit_softcap, block_t, interpret)
+        return fn(q, k_codes, v_codes, kv_valid)
+    assert k_codes.ndim == 3, "quant cache codes are flat [B, T, Hkv*stored]"
+    Hkv = n_kv_heads
+    assert Hkv is not None, "n_kv_heads is required for quantized caches"
+    assert k_scale.shape[1] == Hkv, (k_scale.shape, Hkv)
+    fn = _partitioned_quant(
+        Hkv, Hq // Hkv, k_codes.shape[2] // Hkv, bits, scale, window,
+        logit_softcap, block_t, interpret)
+    return fn(q, k_codes, v_codes, k_scale, v_scale, kv_valid)
