@@ -88,7 +88,8 @@ def _prefill_slot_cont(cfg, params, rope, cache, tokens, slot, start, true_lengt
     ``start..`` of row ``slot`` (chunked prefill: every chunk after the
     first attends the row's live context). The row is sliced to a batch-1
     cache view so attention takes the cached-continuation path
-    (flash_attention_cached on TPU — O(S * live) HBM traffic), then the
+    (quant_cached_attention on TPU — O(S * live) HBM traffic, fp and int8
+    caches in storage layout), then the
     updated row merges back into the multi-slot buffers. Returns logits at
     the chunk's last real token."""
     row = jax.tree.map(

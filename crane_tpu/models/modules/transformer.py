@@ -403,6 +403,44 @@ def attention_block(
         out = out.reshape(B, S, H * D)
         return linear(out, p["wo"], p.get("bo")), new_cache
 
+    # cached-continuation prefill over an int8 quant cache: the kernel reads
+    # the flat [B, T, Hkv*D] codes in storage layout with dequant fused into
+    # the logits/output dots (measured 4.6x the XLA path, which dequantizes
+    # the WHOLE buffer to bf16 per chunk: 1.13 ms vs 5.2 ms for a 512-chunk
+    # at 16K ctx in a 32K buffer). int4's packed 64-lane head columns cannot
+    # be statically lane-sliced — int4 continuation stays on the XLA path;
+    # fp caches take flash_attention_cached below (its one-transpose layout
+    # benches faster than strided [Bk, Hkv, D] in-kernel reads).
+    use_cached_quant = (
+        read_cache
+        and S > 1
+        and extra_mask is None
+        and segments is None
+        and isinstance(new_cache, QuantLayerKVCache)
+        and new_cache.bits == 8
+        and S >= 256
+        and D % 128 == 0
+        and new_cache.k.shape[0] == B
+        and new_cache.k.shape[1] % 256 == 0
+        and jax.default_backend() == "tpu"
+        and os.environ.get("CRANE_NO_FLASH") != "1"
+    )
+    if use_cached_quant:
+        from crane_tpu.ops.pallas.quant_attention import quant_cached_attention
+
+        max_t = new_cache.k.shape[1]
+        out = quant_cached_attention(
+            q, new_cache.k, new_cache.v, new_cache.k_scale,
+            new_cache.v_scale, positions,
+            n_kv_heads=Hkv, bits=8, scale=scale, window=window,
+            logit_softcap=cfg.attn_logit_softcap,
+            block_k=512 if max_t % 512 == 0 else 256,
+        )
+        if gate is not None:
+            out = out * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(out.dtype)
+        out = out.reshape(B, S, H * D)
+        return linear(out, p["wo"], p.get("bo")), new_cache
+
     if not read_cache:
         kc, vc = k, v
     elif hasattr(new_cache, "dequant"):
@@ -418,16 +456,17 @@ def attention_block(
         and jax.default_backend() == "tpu"
         and os.environ.get("CRANE_NO_FLASH") != "1"
     )
-    # cached-continuation prefill (multi-turn chat: a new chunk attends the
-    # full cache buffer): the Pallas kernel's live-length index-map clamp
-    # moves O(S * ctx) KV bytes, where the XLA path materializes the whole
-    # [max_seq] buffer and an [S, max_seq] logit matrix
+    # cached-continuation prefill over an fp cache (multi-turn chat: a new
+    # chunk attends the full cache buffer): the Pallas kernel's live-length
+    # index-map clamp moves O(S * ctx) KV bytes, where the XLA path
+    # materializes the whole [max_seq] buffer and an [S, max_seq] logit
+    # matrix
     use_flash_cached = (
         read_cache
         and S > 1
         and extra_mask is None
         and segments is None
-        and not hasattr(new_cache, "dequant")  # quant caches dequant first
+        and not hasattr(new_cache, "dequant")  # quant caches handled above
         and S >= 256
         and D % 128 == 0
         and new_cache.k.shape[0] == B

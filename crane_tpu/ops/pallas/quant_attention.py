@@ -355,6 +355,293 @@ def _quant_decode_attention(
     return out.reshape(B, 1, Hq, D)
 
 
+# ── cached-continuation prefill over storage-layout caches ──────────────────
+
+
+def _cached_kernel(
+    pos_sref, q_ref, k_ref, v_ref, pos_ref, *rest,
+    bits, scale, block_q, block_k, window, logit_softcap, n_kv_heads, group,
+    head_dim,
+):
+    """Continuation-chunk attention reading cache buffers AS STORED.
+
+    Unlike ``flash_attention_cached`` (which transposes the cache to
+    ``[B, H, T, D]`` on the host — a full relayout copy of the buffer per
+    prefill chunk), this kernel reads fp caches ``[B, T, Hkv, D]`` and int8
+    quant caches (flat codes ``[B, T, Hkv*D]`` + ``[B, Hkv, T]`` scales)
+    in their storage layout, looping query heads in-kernel with static ref
+    slices. Per-(row, head) online softmax state lives in ``[Hq, Bq, .]``
+    VMEM scratch across the sequential KV grid axis.
+    """
+    if bits == 16:
+        ks_ref = vs_ref = None
+        o_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = rest
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
+    Hq = n_kv_heads * group
+    D = head_dim
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    qpos = pos_ref[0]  # [Bq] absolute query positions
+    kv_start = j * block_k
+    # block participates iff any (row, token) pair is causally visible:
+    # min token <= max qpos (and within the window band, if any)
+    relevant = kv_start <= jnp.max(qpos)
+    if window is not None:
+        relevant &= kv_start + block_k - 1 > jnp.min(qpos) - window
+
+    @pl.when(relevant)
+    def _():
+        tokq = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kv_start
+        posq = qpos[:, None]
+        mask = posq >= tokq
+        if window is not None:
+            mask &= tokq > posq - window
+        for h in range(Hq):
+            hk = h // group
+            q_h = q_ref[0, :, h, :]  # [Bq, D]
+            if bits == 16:
+                k_h = k_ref[0, :, hk, :]  # [Bk, D]
+                v_h = v_ref[0, :, hk, :]
+                s = jax.lax.dot_general(
+                    q_h, k_h.astype(q_h.dtype), (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale  # [Bq, Bk]
+            else:
+                c = slice(hk * D, (hk + 1) * D)
+                k_h = k_ref[0][:, c]  # [Bk, D] int8, static 128-lane slice
+                v_h = v_ref[0][:, c]
+                ks = ks_ref[0, hk : hk + 1, :].astype(jnp.float32)  # [1, Bk]
+                s = jax.lax.dot_general(
+                    q_h, k_h.astype(q_h.dtype), (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * (ks * scale)
+            if logit_softcap is not None:
+                s = jnp.tanh(s / logit_softcap) * logit_softcap
+            s = jnp.where(mask, s, _NEG_INF)
+
+            m_prev = m_scr[h][:, :1]  # [Bq, 1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_scr[h] = l_scr[h] * alpha + jnp.sum(p, axis=1, keepdims=True)
+            if bits == 16:
+                pv = p.astype(q_h.dtype)
+            else:
+                vs = vs_ref[0, hk : hk + 1, :].astype(jnp.float32)
+                pv = (p * vs).astype(q_h.dtype)
+            acc_scr[h] = acc_scr[h] * alpha + jax.lax.dot_general(
+                pv, v_h.astype(q_h.dtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_scr[h] = jnp.broadcast_to(m_new, (block_q, m_scr.shape[2]))
+
+    @pl.when(j == nj - 1)
+    def _():
+        for h in range(Hq):
+            denom = l_scr[h][:, :1]
+            denom = jnp.where(denom == 0.0, 1.0, denom)
+            o_ref[0, :, h, :] = (acc_scr[h] / denom).astype(o_ref.dtype)
+
+
+def _cached_attention(q, k, v, k_scale, v_scale, positions, *, bits, scale,
+                      window, logit_softcap, block_q, block_k, interpret):
+    B, S, Hq, D = q.shape
+    T = k.shape[1]
+    if bits == 16:
+        Hkv = k.shape[2]
+    else:
+        Hkv = k_scale.shape[1]
+        assert k.shape[2] == Hkv * D, "int8 continuation needs [B,T,Hkv*D] codes"
+    G = Hq // Hkv
+
+    block_q = min(block_q, S)
+    block_k = min(block_k, T)
+    # per-(head, row) online-softmax scratch is [Hq, block_q, 128]x2 +
+    # [Hq, block_q, D] f32 — keep it within ~8 MB of the ~16 MB VMEM
+    while Hq * block_q * (2 * 128 + D) * 4 > 8 * 2**20 and block_q > 64:
+        block_q //= 2
+    assert T % block_k == 0, (T, block_k)
+    pad_q = (-S) % block_q
+    Sq = S + pad_q
+    pos = jnp.minimum(positions.astype(jnp.int32), T - 1)
+    if pad_q:
+        q = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0), (0, 0)))
+        pos = jnp.pad(pos, ((0, 0), (0, pad_q)), mode="edge")
+
+    def kv_index(b, i, j, pos_s):
+        jj = jnp.minimum(j, pos_s[b, i * block_q + block_q - 1] // block_k)
+        if window is not None:
+            jj = jnp.maximum(jj, jnp.maximum(
+                (pos_s[b, i * block_q] - window + 1) // block_k, 0))
+        if bits == 16:
+            return (b, jj, 0, 0)
+        return (b, jj, 0)
+
+    def sc_index(b, i, j, pos_s):
+        jj = jnp.minimum(j, pos_s[b, i * block_q + block_q - 1] // block_k)
+        if window is not None:
+            jj = jnp.maximum(jj, jnp.maximum(
+                (pos_s[b, i * block_q] - window + 1) // block_k, 0))
+        return (b, 0, jj)
+
+    kernel = functools.partial(
+        _cached_kernel, bits=bits, scale=scale, block_q=block_q,
+        block_k=block_k, window=window, logit_softcap=logit_softcap,
+        n_kv_heads=Hkv, group=G, head_dim=D,
+    )
+    kv_block = (1, block_k, Hkv, D) if bits == 16 else (1, block_k, Hkv * D)
+    in_specs = [
+        pl.BlockSpec((1, block_q, Hq, D), lambda b, i, j, pos_s: (b, i, 0, 0)),
+        pl.BlockSpec(kv_block, kv_index),
+        pl.BlockSpec(kv_block, kv_index),
+        pl.BlockSpec((1, block_q), lambda b, i, j, pos_s: (b, i)),
+    ]
+    operands = [pos, q, k, v, pos]
+    if bits != 16:
+        # kernel ref order is (q, k, v, pos, ks, vs)
+        in_specs += [
+            pl.BlockSpec((1, Hkv, block_k), sc_index),
+            pl.BlockSpec((1, Hkv, block_k), sc_index),
+        ]
+        operands += [k_scale, v_scale]
+    kv_elem = 1 if bits != 16 else k.dtype.itemsize
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, Sq // block_q, T // block_k),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, block_q, Hq, D), lambda b, i, j, pos_s: (b, i, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((Hq, block_q, 128), jnp.float32),  # running max
+                pltpu.VMEM((Hq, block_q, 128), jnp.float32),  # running sum
+                pltpu.VMEM((Hq, block_q, D), jnp.float32),  # out accumulator
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Sq, Hq, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=int(2 * 2 * B * Hq * Sq * T * D // 2),
+            bytes_accessed=int(2 * B * T * Hkv * D * kv_elem
+                               + B * Hq * Sq * D * 4),
+            transcendentals=int(B * Hq * Sq * T // 2),
+        ),
+        interpret=interpret,
+    )(*operands)
+    return out[:, :S]
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_cached_quant(Hkv, G, D, bits, scale, window, logit_softcap,
+                              block_q, block_k, interpret):
+    from crane_tpu.ops.pallas.partitioning import make_head_partitioned
+
+    kwargs = dict(bits=bits, scale=scale, window=window,
+                  logit_softcap=logit_softcap, block_q=block_q,
+                  block_k=block_k, interpret=interpret)
+    qspec = lambda b, h: P(b, None, h, None)
+    if bits == 16:
+        def fn(q, k, v, pos):
+            return _cached_attention(q, k, v, None, None, pos, **kwargs)
+        templates = [qspec, qspec, qspec, lambda b, h: P(b, None), qspec]
+        rule = "b s (h g) d, b t h d, b t h d, b s -> b s (h g) d"
+        needs = ("s", "g", "d", "t")
+        sizes = dict(g=G)
+    else:
+        def fn(q, k, v, ks, vs, pos):
+            return _cached_attention(q, k, v, ks, vs, pos, **kwargs)
+        templates = [
+            qspec,
+            lambda b, h: P(b, None, h),
+            lambda b, h: P(b, None, h),
+            lambda b, h: P(b, h, None),
+            lambda b, h: P(b, h, None),
+            lambda b, h: P(b, None),
+            qspec,
+        ]
+        rule = ("b s (h g) d, b t (h c), b t (h c), b h t2, b h t2, b s"
+                " -> b s (h g) d")
+        needs = ("s", "g", "d", "t", "c", "t2")
+        sizes = dict(g=G, c=D)
+    return make_head_partitioned(
+        "quant_cached_attention", fn,
+        templates=templates,
+        batch_sources=[(0, 0), (1, 0)],
+        head_sources=([(3, 1), (1, 2), (0, 2)] if bits != 16
+                      else [(1, 2), (0, 2)]),
+        n_heads_total=Hkv,
+        rule=rule,
+        need_replication_factors=needs,
+        factor_sizes=sizes,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_kv_heads", "bits", "scale", "window", "logit_softcap",
+                     "block_q", "block_k", "interpret"),
+)
+def quant_cached_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    k_scale: jax.Array | None,
+    v_scale: jax.Array | None,
+    positions: jax.Array,
+    *,
+    n_kv_heads: int | None = None,
+    bits: int,
+    scale: float,
+    window: int | None = None,
+    logit_softcap: float | None = None,
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Cached-continuation prefill attention over storage-layout caches.
+
+    A continuation chunk of S queries (``positions [B, S]`` absolute, the
+    chunk already written to the cache) attends the full cache buffer. Two
+    cache forms:
+
+    - ``bits=16``: fp buffers ``[B, T, Hkv, D]`` read as stored — no host
+      transpose (``flash_attention_cached`` relayouts the whole buffer to
+      ``[B, H, T, D]`` per chunk; at 32K max_seq that is a 67 MB copy per
+      layer per chunk).
+    - ``bits=8``: int8 codes FLAT ``[B, T, Hkv*D]`` + scales ``[B, Hkv, T]``
+      with dequant fused into the logits/output dots — the XLA fallback
+      dequantizes the ENTIRE buffer to bf16 per chunk. (int4's packed 64-lane
+      head columns cannot be statically sliced on the lane axis; int4
+      continuation stays on the XLA path.)
+
+    Same live-length index-map clamp as the rest of the family: KV blocks
+    past the last visible token (or below the window band) repeat their
+    index and Pallas skips the DMA, so traffic is O(S * live), not
+    O(S * max_seq). Shards over (batch, kv-head) mesh axes under SPMD.
+    """
+    B, S, Hq, D = q.shape
+    if bits == 16:
+        Hkv = k.shape[2]
+        fn = _partitioned_cached_quant(
+            Hkv, Hq // Hkv, D, 16, scale, window, logit_softcap, block_q,
+            block_k, interpret)
+        return fn(q, k, v, positions)
+    assert bits == 8, "continuation kernel supports int8 and fp caches"
+    Hkv = n_kv_heads if n_kv_heads is not None else k_scale.shape[1]
+    fn = _partitioned_cached_quant(
+        Hkv, Hq // Hkv, D, 8, scale, window, logit_softcap, block_q, block_k,
+        interpret)
+    return fn(q, k, v, k_scale, v_scale, positions)
+
+
 @functools.lru_cache(maxsize=None)
 def _partitioned_quant(Hkv, G, dp, bits, scale, window, logit_softcap,
                        block_t, interpret):

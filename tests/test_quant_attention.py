@@ -6,6 +6,8 @@ int8's bytes. The kernel parity bar mirrors the reference's
 CRANE_GDN_PORTABLE pattern: Pallas path vs the XLA dequant reference path.
 """
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -202,3 +204,80 @@ def test_block_t_256_on_non_512_multiple_buffer():
     )
     ref = gqa_attention(q, cache.k, cache.v, (lengths - 1)[:, None], scale=0.125)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+# ── cached-continuation kernel (storage-layout caches) ──────────────────────
+
+from crane_tpu.ops.pallas.quant_attention import quant_cached_attention
+
+
+def _rngf(*shape, seed=0):
+    return jnp.asarray(
+        np.random.default_rng(seed).standard_normal(shape), jnp.float32)
+
+
+@pytest.mark.parametrize(
+    "B,ctx,S,T,Hq,Hkv,D,bq,bk",
+    [
+        (1, 40, 32, 128, 4, 2, 32, 16, 16),   # GQA continuation mid-buffer
+        (2, 17, 48, 96, 2, 2, 16, 16, 32),    # ragged ctx, padded q blocks
+        (1, 0, 32, 64, 8, 1, 8, 16, 16),      # fresh (ctx=0) chunk
+    ],
+)
+def test_cached_fp_matches_sdpa(B, ctx, S, T, Hq, Hkv, D, bq, bk):
+    q = _rngf(B, S, Hq, D, seed=1)
+    k = _rngf(B, T, Hkv, D, seed=2)
+    v = _rngf(B, T, Hkv, D, seed=3)
+    positions = jnp.broadcast_to(jnp.arange(S)[None] + ctx, (B, S)).astype(jnp.int32)
+    ref = gqa_attention(q, k, v, positions, scale=D ** -0.5)
+    got = quant_cached_attention(
+        q, k, v, None, None, positions, bits=16, scale=D ** -0.5,
+        block_q=bq, block_k=bk, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("window,softcap", [(None, None), (24, None), (None, 30.0)])
+def test_cached_int8_matches_xla_dequant(window, softcap):
+    B, ctx, S, T, Hq, Hkv, D = 2, 30, 32, 128, 4, 2, 32
+    cache = QuantLayerKVCache.empty(B, T, Hkv, D, bits=8)
+    k_new = _rngf(B, ctx + S, Hkv, D, seed=5)
+    v_new = _rngf(B, ctx + S, Hkv, D, seed=6)
+    cache = cache.update(k_new, v_new, jnp.zeros((B,), jnp.int32))
+    q = _rngf(B, S, Hq, D, seed=4)
+    positions = jnp.broadcast_to(jnp.arange(S)[None] + ctx, (B, S)).astype(jnp.int32)
+
+    kd, vd = cache.dequant(jnp.float32)
+    ref = gqa_attention(q, kd, vd, positions, scale=D ** -0.5,
+                        window=window, logit_softcap=softcap)
+    got = quant_cached_attention(
+        q, cache.k, cache.v, cache.k_scale, cache.v_scale, positions,
+        n_kv_heads=Hkv, bits=8, scale=D ** -0.5, window=window,
+        logit_softcap=softcap, block_q=16, block_k=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=2e-5)
+
+
+def test_cached_int8_garbage_beyond_live_region_ignored():
+    B, ctx, S, T, Hq, Hkv, D = 1, 24, 16, 128, 2, 2, 16
+    cache = QuantLayerKVCache.empty(B, T, Hkv, D, bits=8)
+    k_new = _rngf(B, ctx + S, Hkv, D, seed=7)
+    v_new = _rngf(B, ctx + S, Hkv, D, seed=8)
+    cache = cache.update(k_new, v_new, jnp.zeros((B,), jnp.int32))
+    q = _rngf(B, S, Hq, D, seed=9)
+    positions = (jnp.arange(S)[None] + ctx).astype(jnp.int32)
+    out1 = quant_cached_attention(
+        q, cache.k, cache.v, cache.k_scale, cache.v_scale, positions,
+        n_kv_heads=Hkv, bits=8, scale=D ** -0.5, block_q=16, block_k=16,
+        interpret=True)
+    live = ctx + S
+    poisoned = dataclasses.replace(
+        cache,
+        k=cache.k.at[:, live:].set(99),
+        v=cache.v.at[:, live:].set(-77),
+        k_scale=cache.k_scale.at[:, :, live:].set(1e9),
+        v_scale=cache.v_scale.at[:, :, live:].set(1e9),
+    )
+    out2 = quant_cached_attention(
+        q, poisoned.k, poisoned.v, poisoned.k_scale, poisoned.v_scale,
+        positions, n_kv_heads=Hkv, bits=8, scale=D ** -0.5, block_q=16,
+        block_k=16, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))

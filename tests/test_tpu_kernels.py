@@ -167,3 +167,41 @@ def test_gdn_pallas_vs_ref_on_chip():
     out, st = gdn_recurrence_pallas(q, k, v, g, beta)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(st), np.asarray(st_ref), rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("bits", [16, 8])
+def test_cached_continuation_vs_xla_on_chip(bits):
+    """Storage-layout continuation kernel (fp no-transpose / int8
+    fused-dequant) vs the XLA einsum path on real Mosaic."""
+    from crane_tpu.ops.attention import gqa_attention
+    from crane_tpu.ops.kv_cache import LayerKVCache, QuantLayerKVCache
+    from crane_tpu.ops.pallas.quant_attention import quant_cached_attention
+
+    B, ctx, S, T, Hq, Hkv, D = 1, 700, 512, 2048, 16, 8, 128
+    k_new = rng(B, ctx + S, Hkv, D, seed=21, dtype=jnp.float32)
+    v_new = rng(B, ctx + S, Hkv, D, seed=22, dtype=jnp.float32)
+    q = rng(B, S, Hq, D, seed=23)
+    positions = jnp.broadcast_to(
+        jnp.arange(S, dtype=jnp.int32)[None] + ctx, (B, S))
+
+    if bits == 16:
+        cache = LayerKVCache.empty(B, T, Hkv, D, jnp.bfloat16)
+        cache = cache.update(
+            k_new.astype(jnp.bfloat16), v_new.astype(jnp.bfloat16),
+            jnp.zeros((B,), jnp.int32))
+        kd, vd = cache.k, cache.v
+        kv_args = (cache.k, cache.v, None, None)
+        tol = dict(atol=2e-2, rtol=2e-2)
+    else:
+        cache = QuantLayerKVCache.empty(B, T, Hkv, D, bits=8)
+        cache = cache.update(k_new, v_new, jnp.zeros((B,), jnp.int32))
+        kd, vd = cache.dequant(jnp.bfloat16)
+        kv_args = (cache.k, cache.v, cache.k_scale, cache.v_scale)
+        tol = dict(atol=3e-2, rtol=3e-2)
+
+    got = quant_cached_attention(
+        q, *kv_args, positions, n_kv_heads=Hkv, bits=bits, scale=D ** -0.5,
+        block_q=128, block_k=512)
+    ref = gqa_attention(q, kd, vd, positions, scale=D ** -0.5)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32), **tol)
