@@ -112,29 +112,37 @@ def gdn_block(
         b = linear(x, p["in_proj_b"])
         a = linear(x, p["in_proj_a"])
 
-    mixed = jnp.concatenate(
-        [
-            q.reshape(B, S, gcfg.key_dim),
-            k.reshape(B, S, gcfg.key_dim),
-            v.reshape(B, S, gcfg.value_dim),
-        ],
-        axis=-1,
-    )
+    # Depthwise conv runs PER PART (q, k, v) with static channel slices of
+    # the (small, replicated) conv weight, never concatenating the
+    # activations into one [B, S, conv_dim] tensor: under tensor-parallel
+    # sharding the three parts are sharded along their own head axes, and a
+    # concat along a sharded axis forces GSPMD to all-gather — the conv
+    # itself is shift-and-multiply, so per-part application is identical
+    # math. Only the tiny [B, k, conv_dim] rolling state keeps the
+    # reference's concatenated [Q|K|V] channel layout (cache.rs:15-46).
+    kd, vd = gcfg.key_dim, gcfg.value_dim
+    wq, wk, wv = p["conv_w"][:kd], p["conv_w"][kd : 2 * kd], p["conv_w"][2 * kd :]
+    qf = q.reshape(B, S, kd)
+    kf = k.reshape(B, S, kd)
+    vf = v.reshape(B, S, vd)
 
     if decode:
         if cache_row is not None:
             raise ValueError("decode with cache_row unsupported")
-        conv_in = layer_cache.conv_state
-        y_c, new_conv = causal_conv1d_update(mixed[:, 0], conv_in, p["conv_w"])
-        mixed_c = y_c[:, None, :]
+        cs = layer_cache.conv_state
+        yq, sq = causal_conv1d_update(qf[:, 0], cs[..., :kd], wq)
+        yk, sk = causal_conv1d_update(kf[:, 0], cs[..., kd : 2 * kd], wk)
+        yv, sv = causal_conv1d_update(vf[:, 0], cs[..., 2 * kd :], wv)
+        qc, kc, vc = yq[:, None], yk[:, None], yv[:, None]
     else:
-        mixed_c, new_conv = causal_conv1d(mixed, p["conv_w"], true_lengths=true_lengths)
+        qc, sq = causal_conv1d(qf, wq, true_lengths=true_lengths)
+        kc, sk = causal_conv1d(kf, wk, true_lengths=true_lengths)
+        vc, sv = causal_conv1d(vf, wv, true_lengths=true_lengths)
+    new_conv = jnp.concatenate([sq, sk, sv], axis=-1)
 
-    qc = mixed_c[..., : gcfg.key_dim].reshape(B, S, gcfg.num_k_heads, gcfg.head_k_dim)
-    kc = mixed_c[..., gcfg.key_dim : 2 * gcfg.key_dim].reshape(
-        B, S, gcfg.num_k_heads, gcfg.head_k_dim
-    )
-    vc = mixed_c[..., 2 * gcfg.key_dim :].reshape(B, S, gcfg.num_v_heads, gcfg.head_v_dim)
+    qc = qc.reshape(B, S, gcfg.num_k_heads, gcfg.head_k_dim)
+    kc = kc.reshape(B, S, gcfg.num_k_heads, gcfg.head_k_dim)
+    vc = vc.reshape(B, S, gcfg.num_v_heads, gcfg.head_v_dim)
 
     beta, gdecay = compute_beta_g(b, a, p["A_log"], p["dt_bias"])
     if not decode and true_lengths is not None:

@@ -28,7 +28,7 @@ def shard_cache(cache, mesh: Mesh):
     store codes FLAT ``[B, S, H*stored]`` — the head-major feature axis
     shards over ``tp`` the same way, and scale planes ``[B, H, S]`` shard
     their head axis."""
-    from crane_tpu.ops.kv_cache import QuantLayerKVCache
+    from crane_tpu.ops.kv_cache import GdnLayerCache, QuantLayerKVCache
 
     spec = cache_partition_spec()
     quant_leaf_specs = {
@@ -45,6 +45,17 @@ def shard_cache(cache, mesh: Mesh):
                     getattr(layer, name), NamedSharding(mesh, s))
                 for name, s in quant_leaf_specs.items()
             })
+        if isinstance(layer, GdnLayerCache):
+            # recurrent state [B, Hv, K, V]: v-heads over tp (matches the
+            # sharded GDN projections); the few-KB rolling conv window
+            # replicates (its [Q|K|V] channel layout is not head-major)
+            return GdnLayerCache(
+                conv_state=jax.device_put(
+                    layer.conv_state, NamedSharding(mesh, P("dp"))),
+                recurrent_state=jax.device_put(
+                    layer.recurrent_state,
+                    NamedSharding(mesh, P("dp", "tp", None, None))),
+            )
 
         def put(x):
             if hasattr(x, "ndim") and x.ndim == 4:  # [B, S, H, D] buffers
@@ -55,7 +66,7 @@ def shard_cache(cache, mesh: Mesh):
 
     out = jax.tree.map(
         put_layer, cache,
-        is_leaf=lambda x: isinstance(x, QuantLayerKVCache),
+        is_leaf=lambda x: isinstance(x, (QuantLayerKVCache, GdnLayerCache)),
     )
     return out
 

@@ -58,6 +58,27 @@ def param_partition_specs(params: dict) -> dict:
             return spec
         return {"gate": P(None, "tp"), "up": P(None, "tp"), "down": P("tp", None)}
 
+    def gdn_spec(gdn: dict) -> dict:
+        """Hybrid GDN layer (fused HF projections): the in_proj_qkvz /
+        in_proj_ba out-columns are k-head-major blocks, so sharding the out
+        axis over ``tp`` splits whole k-head groups (tp must divide
+        num_k_heads); per-v-head vectors shard to match; out_proj reduces
+        over sharded v-heads (GSPMD inserts the psum, Megatron row
+        layout). conv_w stays replicated — the depthwise conv runs per
+        part with static channel slices (gdn_layer.py), and the rolling
+        conv state is a few KB. The GGUF split-projection layout
+        ([q_all|k_all|v_all] columns, not head-major) is left replicated."""
+        spec = {
+            "in_proj_qkvz": P(None, "tp"),
+            "in_proj_ba": P(None, "tp"),
+            "A_log": P("tp"),
+            "dt_bias": P("tp"),
+            "out_proj": P("tp", None),
+            "conv_w": P(),
+            "norm": P(),
+        }
+        return {k: spec.get(k, P()) for k in gdn}
+
     def layer_spec(layer: dict) -> dict:
         out = {
             "mlp": mlp_spec(layer["mlp"]),
@@ -65,6 +86,8 @@ def param_partition_specs(params: dict) -> dict:
         }
         if "post_ln" in layer:
             out["post_ln"] = P()
+        if "gdn" in layer and "in_proj_qkvz" in layer["gdn"]:
+            out["gdn"] = gdn_spec(layer["gdn"])
         if "attn" in layer:
             attn = {
                 "wq": P(None, "tp"), "wk": P(None, "tp"), "wv": P(None, "tp"),

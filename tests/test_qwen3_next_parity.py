@@ -184,3 +184,30 @@ def test_kv_quant_on_hybrid_attention_layers(tiny):
         got.append(int(cur[0]))
     # int8 KV is nearly lossless on a tiny model: token-level agreement
     assert got == base
+
+
+def test_tp_hybrid_generate_matches_single_device(tiny):
+    """Tensor-parallel hybrid: the GDN layers shard their k-head-major
+    projections / v-head state over tp (parallel/sharding.py::gdn_spec,
+    per-part conv in gdn_layer.py) and still emit the single-device
+    tokens. The reference is single-device by design (SURVEY.md §2.9)."""
+    from crane_tpu.ops.kv_cache import GdnLayerCache
+    from crane_tpu.parallel.inference import shard_lm
+    from crane_tpu.parallel.sharding import make_mesh
+
+    _, d = tiny
+    lm = from_pretrained(d, dtype=jnp.float32)
+    prompt = [3, 14, 15, 92, 6]
+    expected = lm.generate(prompt, GenerationConfig.greedy(10))
+
+    mesh = make_mesh(dp=1, tp=2)
+    slm = shard_lm(lm, mesh)
+    gdn_w = slm.params["layers"][0]["gdn"]["in_proj_qkvz"]
+    assert len(gdn_w.sharding.device_set) == 2  # GDN weights distributed
+    cache = slm.init_cache(1, 32)
+    gdn_layer = next(
+        l for l in cache.layers if isinstance(l, GdnLayerCache))
+    assert len(gdn_layer.recurrent_state.sharding.device_set) == 2
+
+    got = slm.generate(prompt, GenerationConfig.greedy(10))
+    assert got == expected
