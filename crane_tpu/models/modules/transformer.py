@@ -86,6 +86,10 @@ class TransformerConfig:
     norm_topk_prob: bool = True
     decoder_sparse_step: int = 1
     mlp_only_layers: tuple[int, ...] = ()
+    # sequence parallelism: mesh axis name the KV sequence dim shards over
+    # (parallel/sequence.py sets it; decode attention then runs the fused
+    # kernel per sequence slab and log-sum-exp merges with collectives)
+    sequence_axis: str | None = None
 
     def is_moe_layer(self, i: int) -> bool:
         return (
@@ -356,11 +360,40 @@ def attention_block(
     new_cache = layer_cache.update(k, v, cache_positions, row=cache_row)
     scale = cfg.query_scale if cfg.query_scale is not None else D ** -0.5
 
+    # sequence-parallel decode: the cache's sequence axis is sharded over
+    # cfg.sequence_axis (contexts beyond one chip's HBM); run the fused
+    # kernel per sequence slab inside shard_map and log-sum-exp merge the
+    # partials with 3 small collectives (parallel/sequence.py). Sliding
+    # windows never need sp (their KV is bounded) and stay on the local
+    # paths below.
+    use_sp = (
+        cfg.sequence_axis is not None
+        and read_cache
+        and S == 1
+        and extra_mask is None
+        and window is None
+        and (isinstance(new_cache, QuantLayerKVCache)
+             or not hasattr(new_cache, "dequant"))
+    )
+    if use_sp:
+        from crane_tpu.parallel.sequence import sp_attention
+
+        out = sp_attention(
+            cfg.sequence_axis, new_cache, q, positions[:, 0] + 1,
+            scale=scale, logit_softcap=cfg.attn_logit_softcap,
+            interpret=jax.default_backend() != "tpu",
+        )
+        if gate is not None:
+            out = out * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(out.dtype)
+        out = out.reshape(B, S, H * D)
+        return linear(out, p["wo"], p.get("bo")), new_cache
+
     use_fused_quant = (
         read_cache
         and S == 1
         and isinstance(new_cache, QuantLayerKVCache)
         and extra_mask is None
+        and cfg.sequence_axis is None
         and D % 64 == 0
         and new_cache.max_seq % 256 == 0
         and jax.default_backend() == "tpu"
@@ -371,6 +404,7 @@ def attention_block(
         and S == 1
         and not hasattr(new_cache, "dequant")
         and extra_mask is None
+        and cfg.sequence_axis is None
         and D % 128 == 0  # per-head kernel: D is the lane axis
         and new_cache.k.shape[1] % 256 == 0
         and jax.default_backend() == "tpu"
@@ -418,6 +452,7 @@ def attention_block(
         and segments is None
         and isinstance(new_cache, QuantLayerKVCache)
         and new_cache.bits == 8
+        and cfg.sequence_axis is None
         and S >= 256
         and D % 128 == 0
         and new_cache.k.shape[0] == B
@@ -467,6 +502,7 @@ def attention_block(
         and extra_mask is None
         and segments is None
         and not hasattr(new_cache, "dequant")  # quant caches handled above
+        and cfg.sequence_axis is None
         and S >= 256
         and D % 128 == 0
         and new_cache.k.shape[0] == B

@@ -55,8 +55,13 @@ _NEG_INF = -1e30
 def _kernel(
     lens_ref, qbd_ref, k_ref, v_ref, *rest,
     bits, scale, block_t, window, logit_softcap, n_kv_heads, group, head_dim,
+    return_stats,
 ):
-    ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = rest
+    if return_stats:
+        ks_ref, vs_ref, o_ref, ms_ref, ls_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = rest
+        ms_ref = ls_ref = None
     b = pl.program_id(0)
     j = pl.program_id(1)
     nt = pl.num_programs(1)
@@ -157,11 +162,14 @@ def _kernel(
                 o_ref[0, h] = jnp.concatenate([lo, hi], axis=-1).astype(o_ref.dtype)
             else:
                 o_ref[0, h] = a[r, h * head_dim : (h + 1) * head_dim].astype(o_ref.dtype)
+        if return_stats:
+            ms_ref[0] = m_scr[:]
+            ls_ref[0] = l_scr[:]
 
 
 def _fp_kernel(
-    lens_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
-    scale, block_t, window, logit_softcap, n_kv_heads, group,
+    lens_ref, q_ref, k_ref, v_ref, *rest,
+    scale, block_t, window, logit_softcap, n_kv_heads, group, return_stats,
 ):
     """bits=16 variant: reads the fp cache ``[B, T, H, D]`` AS STORED via
     full-head ``(1, Bt, H, D)`` blocks and loops kv heads in-kernel with
@@ -169,6 +177,11 @@ def _fp_kernel(
     ``[B,T,H,D] -> [B,T,H*D]`` reshape, which on TPU is a relayout copy of
     the whole buffer every decode step (at 32K max_seq: 67 MB per layer per
     token)."""
+    if return_stats:
+        o_ref, ms_ref, ls_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        o_ref, m_scr, l_scr, acc_scr = rest
+        ms_ref = ls_ref = None
     b = pl.program_id(0)
     j = pl.program_id(1)
     nt = pl.num_programs(1)
@@ -216,10 +229,13 @@ def _fp_kernel(
         denom = l_scr[:, :1]
         denom = jnp.where(denom == 0.0, 1.0, denom)  # empty row
         o_ref[0] = (acc_scr[:] / denom).astype(o_ref.dtype)
+        if return_stats:
+            ms_ref[0] = m_scr[:]
+            ls_ref[0] = l_scr[:]
 
 
 def _fp_decode_attention(q, k, v, kv_valid, *, scale, window, logit_softcap,
-                         block_t, interpret):
+                         block_t, interpret, return_stats=False):
     """Fused decode attention over an fp ``[B, T, Hkv, D]`` cache, read in
     its storage layout (no flatten)."""
     B, S, Hq, D = q.shape
@@ -238,9 +254,16 @@ def _fp_decode_attention(q, k, v, kv_valid, *, scale, window, logit_softcap,
     kernel = functools.partial(
         _fp_kernel, scale=scale, block_t=block_t,
         window=window, logit_softcap=logit_softcap,
-        n_kv_heads=Hkv, group=G,
+        n_kv_heads=Hkv, group=G, return_stats=return_stats,
     )
-    out = pl.pallas_call(
+    out_specs = pl.BlockSpec((1, Hq, D), lambda b, j, lens: (b, 0, 0))
+    out_shape = jax.ShapeDtypeStruct((B, Hq, D), q.dtype)
+    if return_stats:
+        stat_spec = pl.BlockSpec((1, Hq, 128), lambda b, j, lens: (b, 0, 0))
+        stat_shape = jax.ShapeDtypeStruct((B, Hq, 128), jnp.float32)
+        out_specs = (out_specs, stat_spec, stat_spec)
+        out_shape = (out_shape, stat_shape, stat_shape)
+    res = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -250,14 +273,14 @@ def _fp_decode_attention(q, k, v, kv_valid, *, scale, window, logit_softcap,
                 pl.BlockSpec((1, block_t, Hkv, D), kv_index),
                 pl.BlockSpec((1, block_t, Hkv, D), kv_index),
             ],
-            out_specs=pl.BlockSpec((1, Hq, D), lambda b, j, lens: (b, 0, 0)),
+            out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((Hq, 128), jnp.float32),  # running max
                 pltpu.VMEM((Hq, 128), jnp.float32),  # running sum
                 pltpu.VMEM((Hq, D), jnp.float32),  # output accumulator
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=int(2 * 2 * B * Hq * T * D),
             bytes_accessed=int(2 * B * T * Hkv * D * k.dtype.itemsize
@@ -266,12 +289,16 @@ def _fp_decode_attention(q, k, v, kv_valid, *, scale, window, logit_softcap,
         ),
         interpret=interpret,
     )(kv_valid, q[:, 0], k, v)
-    return out[:, None]
+    if return_stats:
+        out, ms, ls = res
+        return out[:, None], ms[:, :, 0], ls[:, :, 0]
+    return res[:, None]
 
 
 def _quant_decode_attention(
     q, k_codes, v_codes, k_scale, v_scale, kv_valid, *,
     bits, scale, window, logit_softcap, block_t, interpret,
+    return_stats=False,
 ):
     """Quantized-cache kernel impl. ``n_kv_heads`` comes from the scale
     plane's shape (``k_scale [B, Hkv, T]``) so the SPMD partitioner can call
@@ -317,7 +344,7 @@ def _quant_decode_attention(
     kernel = functools.partial(
         _kernel, bits=bits, scale=scale, block_t=block_t,
         window=window, logit_softcap=logit_softcap,
-        n_kv_heads=Hkv, group=G, head_dim=D,
+        n_kv_heads=Hkv, group=G, head_dim=D, return_stats=return_stats,
     )
     in_specs = [
         pl.BlockSpec((1, Hq, Hkv * D), lambda b, j, lens: (b, 0, 0)),
@@ -330,20 +357,27 @@ def _quant_decode_attention(
         pl.BlockSpec((1, Hkv, block_t), sc_index),
     ]
     operands = [kv_valid, qbd, k2, v2, k_scale, v_scale]
-    out = pl.pallas_call(
+    out_specs = pl.BlockSpec((1, Hkv, G, D), lambda b, j, lens: (b, 0, 0, 0))
+    out_shape = jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype)
+    if return_stats:
+        stat_spec = pl.BlockSpec((1, Hq, 128), lambda b, j, lens: (b, 0, 0))
+        stat_shape = jax.ShapeDtypeStruct((B, Hq, 128), jnp.float32)
+        out_specs = (out_specs, stat_spec, stat_spec)
+        out_shape = (out_shape, stat_shape, stat_shape)
+    res = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B, nt),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, Hkv, G, D), lambda b, j, lens: (b, 0, 0, 0)),
+            out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((Hq, 128), jnp.float32),  # running max
                 pltpu.VMEM((Hq, 128), jnp.float32),  # running sum
                 pltpu.VMEM((Hq, Hkv * D), jnp.float32),  # output accumulator
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=int(2 * 2 * B * Hq * T * D),
             bytes_accessed=int(2 * B * T * per_tok_bytes + B * Hq * D * 2),
@@ -352,7 +386,33 @@ def _quant_decode_attention(
         interpret=interpret,
     )(*operands)
 
-    return out.reshape(B, 1, Hq, D)
+    if return_stats:
+        out, ms, ls = res
+        return out.reshape(B, 1, Hq, D), ms[:, :, 0], ls[:, :, 0]
+    return res.reshape(B, 1, Hq, D)
+
+
+def decode_attention_with_stats(
+    q, k_codes, v_codes, k_scale, v_scale, kv_valid, *,
+    bits, scale, window=None, logit_softcap=None, block_t=512,
+    interpret=False,
+):
+    """Decode attention returning ``(out, m, l)`` — the normalized output
+    plus each row's softmax running max and sum ``[B, Hq]``. The partials
+    let independent KV shards be merged exactly (log-sum-exp combine):
+    ``out = sum_i out_i * w_i / sum_i w_i`` with ``w_i = l_i *
+    exp(m_i - max_i m_i)`` — the sequence-parallel decode path
+    (``parallel/sequence.py``). Called INSIDE shard_map on shard-local
+    buffers, so no custom_partitioning wrapper is involved."""
+    if bits == 16:
+        return _fp_decode_attention(
+            q, k_codes, v_codes, kv_valid, scale=scale, window=window,
+            logit_softcap=logit_softcap, block_t=block_t,
+            interpret=interpret, return_stats=True)
+    return _quant_decode_attention(
+        q, k_codes, v_codes, k_scale, v_scale, kv_valid, bits=bits,
+        scale=scale, window=window, logit_softcap=logit_softcap,
+        block_t=block_t, interpret=interpret, return_stats=True)
 
 
 # ── cached-continuation prefill over storage-layout caches ──────────────────
