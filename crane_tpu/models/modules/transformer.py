@@ -437,21 +437,21 @@ def attention_block(
         out = out.reshape(B, S, H * D)
         return linear(out, p["wo"], p.get("bo")), new_cache
 
-    # cached-continuation prefill over an int8 quant cache: the kernel reads
-    # the flat [B, T, Hkv*D] codes in storage layout with dequant fused into
-    # the logits/output dots (measured 4.6x the XLA path, which dequantizes
-    # the WHOLE buffer to bf16 per chunk: 1.13 ms vs 5.2 ms for a 512-chunk
-    # at 16K ctx in a 32K buffer). int4's packed 64-lane head columns cannot
-    # be statically lane-sliced — int4 continuation stays on the XLA path;
-    # fp caches take flash_attention_cached below (its one-transpose layout
-    # benches faster than strided [Bk, Hkv, D] in-kernel reads).
+    # cached-continuation prefill over an int8/int4 quant cache: the kernel
+    # reads the flat [B, T, Hkv*stored] codes in storage layout with dequant
+    # fused into the logits/output dots (measured 4.6x the XLA path, which
+    # dequantizes the WHOLE buffer to bf16 per chunk: 1.13 ms vs 5.2 ms for
+    # a 512-chunk at 16K ctx in a 32K buffer, int8). int4 unpacks each
+    # block once in-kernel and uses 64-lane value slices per head. fp caches
+    # take flash_attention_cached below (its one-transpose layout benches
+    # faster than strided [Bk, Hkv, D] in-kernel reads).
     use_cached_quant = (
         read_cache
         and S > 1
         and extra_mask is None
         and segments is None
         and isinstance(new_cache, QuantLayerKVCache)
-        and new_cache.bits == 8
+        and new_cache.bits in (4, 8)
         and cfg.sequence_axis is None
         and S >= 256
         and D % 128 == 0
@@ -467,7 +467,7 @@ def attention_block(
         out = quant_cached_attention(
             q, new_cache.k, new_cache.v, new_cache.k_scale,
             new_cache.v_scale, positions,
-            n_kv_heads=Hkv, bits=8, scale=scale, window=window,
+            n_kv_heads=Hkv, bits=new_cache.bits, scale=scale, window=window,
             logit_softcap=cfg.attn_logit_softcap,
             block_k=512 if max_t % 512 == 0 else 256,
         )

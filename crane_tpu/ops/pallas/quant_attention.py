@@ -464,6 +464,18 @@ def _cached_kernel(
         mask = posq >= tokq
         if window is not None:
             mask &= tokq > posq - window
+        dh = D // 2
+        if bits == 4:
+            # arithmetic unpack of the whole block ONCE (byte = 16*hi + lo;
+            # lo plane = dims 0..D/2-1, hi plane = dims D/2..D-1); per-head
+            # 64-lane VALUE slices below are legal — only ref/BlockSpec
+            # reads need 128-lane alignment
+            kp = k_ref[0].astype(jnp.float32)
+            vp = v_ref[0].astype(jnp.float32)
+            k_hi_all = jnp.floor((kp + 8.0) * 0.0625)
+            k_lo_all = kp - 16.0 * k_hi_all
+            v_hi_all = jnp.floor((vp + 8.0) * 0.0625)
+            v_lo_all = vp - 16.0 * v_hi_all
         for h in range(Hq):
             hk = h // group
             q_h = q_ref[0, :, h, :]  # [Bq, D]
@@ -474,6 +486,19 @@ def _cached_kernel(
                     q_h, k_h.astype(q_h.dtype), (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 ) * scale  # [Bq, Bk]
+            elif bits == 4:
+                cs = slice(hk * dh, (hk + 1) * dh)
+                dt = q_h.dtype
+                ks = ks_ref[0, hk : hk + 1, :].astype(jnp.float32)  # [1, Bk]
+                s = (jax.lax.dot_general(
+                    q_h[:, :dh], k_lo_all[:, cs].astype(dt),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + jax.lax.dot_general(
+                    q_h[:, dh:], k_hi_all[:, cs].astype(dt),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )) * (ks * scale)
             else:
                 c = slice(hk * D, (hk + 1) * D)
                 k_h = k_ref[0][:, c]  # [Bk, D] int8, static 128-lane slice
@@ -497,10 +522,24 @@ def _cached_kernel(
             else:
                 vs = vs_ref[0, hk : hk + 1, :].astype(jnp.float32)
                 pv = (p * vs).astype(q_h.dtype)
-            acc_scr[h] = acc_scr[h] * alpha + jax.lax.dot_general(
-                pv, v_h.astype(q_h.dtype), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            if bits == 4:
+                cs = slice(hk * dh, (hk + 1) * dh)
+                dt = q_h.dtype
+                lo = jax.lax.dot_general(
+                    pv, v_lo_all[:, cs].astype(dt), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                hi = jax.lax.dot_general(
+                    pv, v_hi_all[:, cs].astype(dt), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc_scr[h] = acc_scr[h] * alpha + jnp.concatenate(
+                    [lo, hi], axis=1)
+            else:
+                acc_scr[h] = acc_scr[h] * alpha + jax.lax.dot_general(
+                    pv, v_h.astype(q_h.dtype), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
             m_scr[h] = jnp.broadcast_to(m_new, (block_q, m_scr.shape[2]))
 
     @pl.when(j == nj - 1)
@@ -519,14 +558,21 @@ def _cached_attention(q, k, v, k_scale, v_scale, positions, *, bits, scale,
         Hkv = k.shape[2]
     else:
         Hkv = k_scale.shape[1]
-        assert k.shape[2] == Hkv * D, "int8 continuation needs [B,T,Hkv*D] codes"
+        stored = D // 2 if bits == 4 else D
+        assert k.shape[2] == Hkv * stored, (
+            "quant continuation needs flat [B,T,Hkv*stored] codes",
+            k.shape, Hkv, stored)
     G = Hq // Hkv
 
     block_q = min(block_q, S)
     block_k = min(block_k, T)
     # per-(head, row) online-softmax scratch is [Hq, block_q, 128]x2 +
-    # [Hq, block_q, D] f32 — keep it within ~8 MB of the ~16 MB VMEM
-    while Hq * block_q * (2 * 128 + D) * 4 > 8 * 2**20 and block_q > 64:
+    # [Hq, block_q, D] f32; int4 additionally materializes 4 f32 unpack
+    # planes [block_k, Hkv*D/2] per block — keep the total within ~8 MB of
+    # the ~16 MB VMEM
+    unpack = 4 * block_k * Hkv * (D // 2) * 4 if bits == 4 else 0
+    while (Hq * block_q * (2 * 128 + D) * 4 + unpack > 8 * 2**20
+           and block_q > 64):
         block_q //= 2
     assert T % block_k == 0, (T, block_k)
     pad_q = (-S) % block_q
@@ -557,7 +603,8 @@ def _cached_attention(q, k, v, k_scale, v_scale, positions, *, bits, scale,
         block_k=block_k, window=window, logit_softcap=logit_softcap,
         n_kv_heads=Hkv, group=G, head_dim=D,
     )
-    kv_block = (1, block_k, Hkv, D) if bits == 16 else (1, block_k, Hkv * D)
+    kv_block = ((1, block_k, Hkv, D) if bits == 16
+                else (1, block_k, Hkv * (D // 2 if bits == 4 else D)))
     in_specs = [
         pl.BlockSpec((1, block_q, Hq, D), lambda b, i, j, pos_s: (b, i, 0, 0)),
         pl.BlockSpec(kv_block, kv_index),
@@ -572,7 +619,7 @@ def _cached_attention(q, k, v, k_scale, v_scale, positions, *, bits, scale,
             pl.BlockSpec((1, Hkv, block_k), sc_index),
         ]
         operands += [k_scale, v_scale]
-    kv_elem = 1 if bits != 16 else k.dtype.itemsize
+    kv_elem = (0.5 if bits == 4 else 1) if bits != 16 else k.dtype.itemsize
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -630,7 +677,7 @@ def _partitioned_cached_quant(Hkv, G, D, bits, scale, window, logit_softcap,
         rule = ("b s (h g) d, b t (h c), b t (h c), b h t2, b h t2, b s"
                 " -> b s (h g) d")
         needs = ("s", "g", "d", "t", "c", "t2")
-        sizes = dict(g=G, c=D)
+        sizes = dict(g=G, c=(D // 2 if bits == 4 else D))
     return make_head_partitioned(
         "quant_cached_attention", fn,
         templates=templates,
@@ -676,11 +723,12 @@ def quant_cached_attention(
       transpose (``flash_attention_cached`` relayouts the whole buffer to
       ``[B, H, T, D]`` per chunk; at 32K max_seq that is a 67 MB copy per
       layer per chunk).
-    - ``bits=8``: int8 codes FLAT ``[B, T, Hkv*D]`` + scales ``[B, Hkv, T]``
-      with dequant fused into the logits/output dots — the XLA fallback
-      dequantizes the ENTIRE buffer to bf16 per chunk. (int4's packed 64-lane
-      head columns cannot be statically sliced on the lane axis; int4
-      continuation stays on the XLA path.)
+    - ``bits=8`` / ``bits=4``: flat codes ``[B, T, Hkv*stored]`` + scales
+      ``[B, Hkv, T]`` with dequant fused into the logits/output dots — the
+      XLA fallback dequantizes the ENTIRE buffer to bf16 per chunk. int4
+      unpacks each block once in-kernel (arithmetic unpack) and uses
+      per-head 64-lane VALUE slices, which Mosaic legalizes (only
+      ref/BlockSpec reads need 128-lane alignment).
 
     Same live-length index-map clamp as the rest of the family: KV blocks
     past the last visible token (or below the window band) repeat their
@@ -694,11 +742,11 @@ def quant_cached_attention(
             Hkv, Hq // Hkv, D, 16, scale, window, logit_softcap, block_q,
             block_k, interpret)
         return fn(q, k, v, positions)
-    assert bits == 8, "continuation kernel supports int8 and fp caches"
+    assert bits in (4, 8), "continuation kernel: fp/int8/int4 caches"
     Hkv = n_kv_heads if n_kv_heads is not None else k_scale.shape[1]
     fn = _partitioned_cached_quant(
-        Hkv, Hq // Hkv, D, 8, scale, window, logit_softcap, block_q, block_k,
-        interpret)
+        Hkv, Hq // Hkv, D, bits, scale, window, logit_softcap, block_q,
+        block_k, interpret)
     return fn(q, k, v, k_scale, v_scale, positions)
 
 

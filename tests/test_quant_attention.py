@@ -281,3 +281,23 @@ def test_cached_int8_garbage_beyond_live_region_ignored():
         positions, n_kv_heads=Hkv, bits=8, scale=D ** -0.5, block_q=16,
         block_k=16, interpret=True)
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+@pytest.mark.parametrize("window,softcap", [(None, None), (24, 30.0)])
+def test_cached_int4_matches_xla_dequant(window, softcap):
+    B, ctx, S, T, Hq, Hkv, D = 2, 30, 32, 128, 4, 2, 32
+    cache = QuantLayerKVCache.empty(B, T, Hkv, D, bits=4)
+    k_new = _rngf(B, ctx + S, Hkv, D, seed=15)
+    v_new = _rngf(B, ctx + S, Hkv, D, seed=16)
+    cache = cache.update(k_new, v_new, jnp.zeros((B,), jnp.int32))
+    q = _rngf(B, S, Hq, D, seed=14)
+    positions = jnp.broadcast_to(jnp.arange(S)[None] + ctx, (B, S)).astype(jnp.int32)
+
+    kd, vd = cache.dequant(jnp.float32)
+    ref = gqa_attention(q, kd, vd, positions, scale=D ** -0.5,
+                        window=window, logit_softcap=softcap)
+    got = quant_cached_attention(
+        q, cache.k, cache.v, cache.k_scale, cache.v_scale, positions,
+        n_kv_heads=Hkv, bits=4, scale=D ** -0.5, window=window,
+        logit_softcap=softcap, block_q=16, block_k=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=2e-5)
