@@ -782,6 +782,11 @@ def main(argv=None):
     ap.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel degree: shard the model over the "
                     "first N devices (models too large for one chip)")
+    ap.add_argument("--sp", type=int, default=1,
+                    help="sequence-parallel degree: shard the KV cache's "
+                    "sequence axis over the first N devices (contexts too "
+                    "long for one chip's HBM; composes with --kv-quant; "
+                    "mutually exclusive with --tp)")
     # multimodal backends (reference per-modality startup branches,
     # crane-serve lib.rs:200-619)
     ap.add_argument("--vlm-path", default=None, help="Qwen3-VL checkpoint for image chat")
@@ -820,10 +825,17 @@ def main(argv=None):
     if lm is not None and args.tp > 1:
         # tensor-parallel serving: weights + KV sharded over the first tp
         # devices, every engine step runs SPMD (parallel/inference.py)
+        assert args.sp <= 1, "--tp and --sp are mutually exclusive"
         from crane_tpu.parallel.inference import shard_lm
         from crane_tpu.parallel.sharding import make_mesh
 
         lm = shard_lm(lm, make_mesh(dp=1, tp=args.tp))
+    elif lm is not None and args.sp > 1:
+        # sequence-parallel serving: KV sequence axis sharded over sp
+        # devices — max_seq_len beyond one chip's HBM (parallel/sequence.py)
+        from crane_tpu.parallel.sequence import make_sp_mesh, sp_shard_lm
+
+        lm = sp_shard_lm(lm, make_sp_mesh(args.sp))
     if lm is not None:
         engine = InferenceEngine(
             lm,

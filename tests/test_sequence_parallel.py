@@ -82,3 +82,38 @@ def test_sp_quant_cache_matches_single_device(lm, bits):
     toks_s, sp_cache, rec_s = slm.decode_steps(
         sp_cache, cur_s, rec_s, sp_params, key, 6)
     np.testing.assert_array_equal(np.asarray(toks_r), np.asarray(toks_s))
+
+
+def test_sp_engine_serving_matches_single_device(lm):
+    """The continuous-batching engine over a sequence-parallel model:
+    slot caches shard their sequence axis; admit + batched block-decode
+    stream the single-device tokens (--sp serving)."""
+    from crane_tpu.serve.engine import InferenceEngine
+    from crane_tpu.serve.sequence import EngineRequest, SamplingOptions
+
+    prompts = [[3, 14, 15], [92, 6, 44, 12]]
+    expected = [lm.generate(p, GenerationConfig.greedy(6)) for p in prompts]
+
+    slm = sp_shard_lm(lm, make_sp_mesh(4))
+    engine = InferenceEngine(slm, max_slots=2, max_seq_len=64,
+                             decode_tokens_per_seq=2)
+    qs = [
+        engine.submit(EngineRequest(
+            request_id=f"r{i}", prompt_ids=p, max_new_tokens=6,
+            sampling=SamplingOptions(do_sample=False, repetition_penalty=1.0),
+        ))
+        for i, p in enumerate(prompts)
+    ]
+    for _ in range(200):
+        if not engine.step() and engine.request_q.empty():
+            break
+    for q, exp in zip(qs, expected):
+        toks = []
+        while True:
+            r = q.get(timeout=60)
+            if r.finished:
+                assert r.error is None, r.error
+                break
+            if r.token is not None:
+                toks.append(r.token)
+        assert toks == exp
