@@ -30,6 +30,11 @@ Modes (``--mode``):
   serve             aggregate tok/s of the engine's masked batched decode
                     at 1 and 8 slots (continuous-batching inner loop);
                     vs_baseline = aggregate over single-stream.
+  multiturn         512-token continuation-chunk re-prefill rate at 16K
+                    context in a 32K int8 KV cache (chunked prefill /
+                    multi-turn / preemption recovery); vs_baseline =
+                    speedup over the XLA full-buffer-dequant path measured
+                    same-session.
 
 All weights are randomly initialized at the real architecture shapes
 (throughput is weight-content-independent). Timing is the MARGINAL rate
@@ -70,6 +75,26 @@ def _median_marginal_rate(run_chain, n_short=64, n_long=320, reps=3) -> float:
 
 
 DECODE_BLOCK = 8  # tokens per device dispatch (the serving inner loop)
+
+
+def _marginal_groups(run_chain, short, long_, d_tokens, *, groups=3, reps=3):
+    """Max of per-group medians of the interleaved short/long marginal rate
+    (the tunnel-variance discipline shared by every mode: equal dispatch
+    counts so per-RPC overhead cancels exactly; alternating order so drift
+    cancels; max-of-medians so a sick tunnel can't misreport the chip)."""
+    run_chain(short)  # compile both programs outside the timed reps
+    run_chain(long_)
+    group_medians = []
+    for _ in range(groups):
+        rates = []
+        for i in range(reps):
+            if i % 2 == 0:
+                ts, tl = run_chain(short), run_chain(long_)
+            else:
+                tl, ts = run_chain(long_), run_chain(short)
+            rates.append(d_tokens / max(tl - ts, 1e-9))
+        group_medians.append(sorted(rates)[reps // 2])
+    return max(group_medians), group_medians
 
 
 def _decode_rate(params_transform=None, *, kv_bits=None, max_seq=2048,
@@ -120,20 +145,9 @@ def _decode_rate(params_transform=None, *, kv_bits=None, max_seq=2048,
         host_sync(cur)
         return time.perf_counter() - t0
 
-    run_chain(block_short)  # compile both programs outside the timed reps
-    run_chain(block_long)
-    d_tokens = n_dispatch * (block_long - block_short)
-    group_medians = []
-    for _ in range(groups):
-        rates = []
-        for i in range(reps):
-            if i % 2 == 0:
-                ts, tl = run_chain(block_short), run_chain(block_long)
-            else:
-                tl, ts = run_chain(block_long), run_chain(block_short)
-            rates.append(d_tokens / max(tl - ts, 1e-9))
-        group_medians.append(sorted(rates)[reps // 2])
-    return max(group_medians), group_medians
+    return _marginal_groups(
+        run_chain, block_short, block_long,
+        n_dispatch * (block_long - block_short), groups=groups, reps=reps)
 
 
 def bench_decode() -> None:
@@ -247,19 +261,8 @@ def bench_longctx() -> None:
         return time.perf_counter() - t0
 
     b_short, b_long, nd = 8, 64, 4
-    run_chain(b_short)
-    run_chain(b_long)
-    group_medians = []
-    for _ in range(3):
-        rates = []
-        for i in range(3):
-            if i % 2 == 0:
-                ts, tl = run_chain(b_short), run_chain(b_long)
-            else:
-                tl, ts = run_chain(b_long), run_chain(b_short)
-            rates.append(nd * (b_long - b_short) / max(tl - ts, 1e-9))
-        group_medians.append(sorted(rates)[1])
-    tok_s = max(group_medians)
+    tok_s, group_medians = _marginal_groups(
+        run_chain, b_short, b_long, nd * (b_long - b_short))
     print(json.dumps({
         "metric": "qwen3_0.6b_decode_tok_s_at_16k_int4kv",
         "value": round(tok_s, 3), "unit": "tokens/sec",
@@ -567,23 +570,44 @@ def bench_multiturn() -> None:
         host_sync(out)
         return time.perf_counter() - t0
 
-    run_chain(1)
-    group_medians = []
-    for _ in range(3):
-        rates = []
-        for i in range(3):
-            if i % 2 == 0:
-                ts, tl = run_chain(2), run_chain(10)
-            else:
-                tl, ts = run_chain(10), run_chain(2)
-            rates.append(8 * CHUNK / max(tl - ts, 1e-9))
-        group_medians.append(sorted(rates)[1])
-    tok_s = max(group_medians)
+    tok_s, group_medians = _marginal_groups(run_chain, 2, 10, 8 * CHUNK)
+
+    # same-session XLA baseline (CRANE_NO_FLASH read at trace time; a
+    # distinct config forces a fresh trace of the continuation program)
+    import dataclasses
+    import os
+
+    cfg_xla = dataclasses.replace(
+        cfg, max_position_embeddings=cfg.max_position_embeddings + 256)
+    lm_xla = CausalLM(cfg_xla, lm.params, dtype=jnp.bfloat16)
+    os.environ["CRANE_NO_FLASH"] = "1"
+    try:
+        cache_x = jax.tree.map(jnp.copy, cache0)
+        out, cache_x = lm_xla.prefill_slot_continue(cache_x, chunk_ids, 0, S, CHUNK)
+        host_sync(out)
+
+        def run_chain_xla(n_chunks: int) -> float:
+            cache = jax.tree.map(jnp.copy, cache0)
+            out, cache = lm_xla.prefill_slot_continue(cache, chunk_ids, 0, S, CHUNK)
+            host_sync(out)
+            t0 = time.perf_counter()
+            start = S + CHUNK
+            for _ in range(n_chunks):
+                out, cache = lm_xla.prefill_slot_continue(
+                    cache, chunk_ids, 0, start, CHUNK)
+                start += CHUNK
+            host_sync(out)
+            return time.perf_counter() - t0
+
+        xla_tok_s, _ = _marginal_groups(run_chain_xla, 2, 10, 8 * CHUNK,
+                                        groups=1, reps=3)
+    finally:
+        del os.environ["CRANE_NO_FLASH"]
     print(json.dumps({
         "metric": "qwen3_0.6b_multiturn_prefill_tok_s_at_16k_int8kv",
         "value": round(tok_s, 1), "unit": "tokens/sec",
-        "vs_baseline": round(tok_s / REF_METAL_TOK_S, 3),
-        "detail": {"chunk": CHUNK,
+        "vs_baseline": round(tok_s / max(xla_tok_s, 1e-9), 3),
+        "detail": {"chunk": CHUNK, "xla_path_tok_s": round(xla_tok_s, 1),
                    "group_medians": [round(r, 0) for r in group_medians]},
     }))
 

@@ -366,12 +366,30 @@ def attention_block(
     # partials with 3 small collectives (parallel/sequence.py). Sliding
     # windows never need sp (their KV is bounded) and stay on the local
     # paths below.
+    if cfg.sequence_axis is not None and jax.default_backend() == "tpu":
+        # Mosaic alignment for the per-slab kernel run: head_dim on the
+        # lane axis (fp per-head kernel needs 128; quant flat-dot 64) and
+        # 256-aligned sequence slabs. Ineligible shapes fall through to
+        # the XLA paths below, which stay correct on sharded buffers
+        # (GSPMD inserts the collectives).
+        from crane_tpu.parallel.sequence import sequence_mesh
+
+        n_sp = sequence_mesh(cfg.sequence_axis).shape[cfg.sequence_axis]
+        slab = new_cache.k.shape[1] // n_sp
+        sp_mosaic_ok = (
+            slab % 256 == 0
+            and (D % 64 == 0 if isinstance(new_cache, QuantLayerKVCache)
+                 else D % 128 == 0)
+        )
+    else:
+        sp_mosaic_ok = True  # interpret mode has no alignment constraints
     use_sp = (
         cfg.sequence_axis is not None
         and read_cache
         and S == 1
         and extra_mask is None
         and window is None
+        and sp_mosaic_ok
         and (isinstance(new_cache, QuantLayerKVCache)
              or not hasattr(new_cache, "dequant"))
     )

@@ -174,14 +174,24 @@ class SequenceShardedCausalLM(CausalLM):
 
     def init_cache(self, batch: int, max_seq: int, *, quant_bits=None):
         n = self.mesh.shape[self.axis]
-        # each slab must be even; on real chips use 256-multiple slabs so
-        # the Mosaic kernel gets aligned blocks (the engine's max_seq
-        # already is)
-        assert max_seq % n == 0, (
-            f"sp={n} needs max_seq divisible by {n}, got {max_seq}")
+        # round the (power-of-two-bucketed) max_seq up to a slab multiple so
+        # non-power-of-two sp degrees work; on real chips 256-multiple slabs
+        # give the Mosaic kernel aligned blocks (attention_block falls back
+        # to XLA when they are not)
+        max_seq = -(-max_seq // n) * n
         cache = super().init_cache(batch, max_seq, quant_bits=quant_bits)
         put = _cache_spec_tree(cache, self.axis)
-        layers = tuple(put(l, self.mesh) for l in cache.layers)
+        replicate = lambda l: jax.tree.map(
+            lambda x: jax.device_put(x, NamedSharding(self.mesh, P())), l)
+        layers = tuple(
+            # sliding-window layers never take the sp decode path (their KV
+            # is window-bounded); keep their buffers replicated so the XLA
+            # window path stays chip-local instead of gathering a sharded
+            # buffer every step
+            replicate(l) if self.config.layer_type(i) == "sliding" else
+            put(l, self.mesh)
+            for i, l in enumerate(cache.layers)
+        )
         lengths = jax.device_put(
             cache.lengths, NamedSharding(self.mesh, P()))
         return dataclasses.replace(cache, layers=layers, lengths=lengths)

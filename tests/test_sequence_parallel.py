@@ -117,3 +117,35 @@ def test_sp_engine_serving_matches_single_device(lm):
             if r.token is not None:
                 toks.append(r.token)
         assert toks == exp
+
+
+def test_sp_sliding_window_hybrid_matches():
+    """Gemma-style sliding/full hybrid under sp: window layers keep
+    replicated caches (their KV is bounded; the sp decode path excludes
+    them) while full layers sequence-shard — tokens match single-device."""
+    import dataclasses
+
+    from crane_tpu.models.init import init_params
+    from crane_tpu.models.modules.transformer import TransformerConfig
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    cfg = TransformerConfig(
+        vocab_size=512, hidden_size=64, num_layers=4, num_heads=4,
+        num_kv_heads=2, head_dim=16, intermediate_size=96, qk_norm=True,
+        layer_types=("sliding", "full", "sliding", "full"),
+        sliding_window=8, rope_local_theta=10000.0,
+    )
+    lm = CausalLM(cfg, init_params(cfg, seed=3, dtype=jnp.float32),
+                  dtype=jnp.float32)
+    prompt = list(range(2, 20))
+    expected = lm.generate(prompt, GenerationConfig.greedy(8))
+
+    slm = sp_shard_lm(lm, make_sp_mesh(4))
+    cache = slm.init_cache(1, 32)
+    assert len(cache.layers[0].k.sharding.device_set) in (1, 4)
+    # sliding layer cache replicated; full layer cache sharded
+    assert cache.layers[0].k.sharding.is_fully_replicated
+    assert not cache.layers[1].k.sharding.is_fully_replicated
+    got = slm.generate(prompt, GenerationConfig.greedy(8))
+    assert got == expected
