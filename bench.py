@@ -512,16 +512,9 @@ def bench_serve() -> None:
             host_sync(cur)
             return time.perf_counter() - t0
 
-        chain(8, 1)
-        chain(40, 1)  # compile both
-        rates = []
-        for i in range(3):
-            if i % 2 == 0:
-                ts, tl = chain(8), chain(40)
-            else:
-                tl, ts = chain(40), chain(8)
-            rates.append(4 * 32 * slots / max(tl - ts, 1e-9))
-        return sorted(rates)[1]
+        rate, _ = _marginal_groups(chain, 8, 40, 4 * 32 * slots,
+                                   groups=1, reps=3)
+        return rate
 
     single = slot_rate(1)
     agg8 = slot_rate(8)

@@ -77,11 +77,6 @@ def _vlm_decode_body(cfg, mrope_section, params, rope, cache, token, pos_delta):
     return jnp.argmax(logits, -1).astype(jnp.int32), new_cache
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(4,))
-def _vlm_decode_step(cfg, mrope_section, params, rope, cache, token, pos_delta):
-    return _vlm_decode_body(cfg, mrope_section, params, rope, cache, token, pos_delta)
-
-
 @functools.partial(jax.jit, static_argnums=(0, 1, 7), donate_argnums=(4,))
 def _vlm_decode_block(cfg, mrope_section, params, rope, cache, token, pos_delta, n_steps):
     """``n_steps`` greedy decode steps in ONE device dispatch (lax.scan) —

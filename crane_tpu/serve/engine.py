@@ -431,7 +431,14 @@ class InferenceEngine:
         ctx, offset = p["ctx"], p["offset"]
         n = min(self.prefill_chunk, len(ctx) - offset)
         chunk = ctx[offset : offset + n]
-        s_bucket = bucket_length(n, floor=64, ceiling=self.max_seq_len)
+        # cap the bucket so the [1, bucket] cache write fits the buffer:
+        # dynamic_update_slice CLAMPS an out-of-range start, which would
+        # shift the write left and silently overwrite live KV (admission
+        # guarantees offset + n <= max_seq_len, so the cap is >= n)
+        s_bucket = min(
+            bucket_length(n, floor=64, ceiling=self.max_seq_len),
+            self.max_seq_len - offset,
+        )
         padded = np.zeros((1, s_bucket), np.int32)
         padded[0, :n] = chunk
         t0 = time.perf_counter()
@@ -522,6 +529,11 @@ class InferenceEngine:
             elif seq.request.stop_strings:
                 out, stopped = seq.filter_stop(rest)
                 rest = out if stopped else out + seq.flush_stop_buf()
+                if stopped and reason != FinishReason.ABORT:
+                    # the match surfaced only in the final detok flush:
+                    # report STOP, not the reason that triggered the flush
+                    seq.stopped_by_string = True
+                    reason = FinishReason.STOP
             if rest:
                 seq.response_q.put(
                     EngineResponse(seq.request_id, token=None, text=rest,

@@ -104,12 +104,13 @@ class Sequence:
         if not ss:
             return text, False
         self._stop_buf += text
-        for s in ss:
-            i = self._stop_buf.find(s)
-            if i >= 0:
-                out = self._stop_buf[:i]
-                self._stop_buf = ""
-                return out, True
+        # earliest match POSITION wins (OpenAI semantics), not tuple order:
+        # stop=["world", "lo"] on "hello world" must truncate at "lo"
+        matches = [i for s in ss if (i := self._stop_buf.find(s)) >= 0]
+        if matches:
+            out = self._stop_buf[: min(matches)]
+            self._stop_buf = ""
+            return out, True
         keep = max(len(s) for s in ss) - 1
         if keep <= 0:
             out, self._stop_buf = self._stop_buf, ""

@@ -64,6 +64,12 @@ def german_cardinal(n: int) -> str:
     ``tausend`` (german_numerals.rs:65-144)."""
     if n == 0:
         return "null"
+    if n >= 1000 ** (len(_LARGE_SCALES) + 2):
+        # beyond Trillionen (>= 10^21): read digit-by-digit instead of
+        # crashing the request on a scale the table doesn't name
+        digits = ("null", "eins", "zwei", "drei", "vier", "fünf", "sechs",
+                  "sieben", "acht", "neun")
+        return " ".join(digits[int(d)] for d in str(n))
     groups = []
     while n > 0:
         groups.append(n % 1000)

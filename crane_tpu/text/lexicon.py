@@ -40,19 +40,8 @@ class Lexicon:
         ``.gz`` paths are decompressed. Multiple lines for one word collect
         as sorted alternatives (lexicon.rs multi-pronunciation packing)."""
         opener = gzip.open if path.endswith(".gz") else open
-        raw: dict[str, set] = {}
         with opener(path, "rt", encoding="utf-8") as f:
-            for lineno, line in enumerate(f, 1):
-                line = line.rstrip("\n")
-                if not line or line.startswith("#"):
-                    continue
-                if "\t" not in line:
-                    raise ValueError(f"{path}:{lineno}: expected word\\tIPA")
-                word, ipa = line.split("\t", 1)
-                if not word or not ipa:
-                    raise ValueError(f"{path}:{lineno}: empty word or IPA")
-                raw.setdefault(word, set()).add(ipa)
-        return cls({w: tuple(sorted(alts)) for w, alts in raw.items()})
+            return cls.from_tsv_text(f.read())
 
     @classmethod
     def from_tsv_text(cls, content: str) -> "Lexicon":

@@ -328,6 +328,21 @@ class TestChunkedPrefill:
         assert toks == expected
         assert reason == FinishReason.LENGTH
 
+    def test_final_chunk_bucket_clamped_to_buffer_end(self, lm):
+        """A final chunk whose power-of-two bucket would overrun max_seq_len:
+        dynamic_update_slice CLAMPS out-of-range starts, which used to shift
+        the write left and silently corrupt live KV. The bucket is now
+        capped at the remaining buffer; tokens must match whole-prompt."""
+        prompt = list(np.random.default_rng(11).integers(1, 500, 90))
+        expected = lm.generate(prompt, GenerationConfig.greedy(4))
+        # offsets 0/32/64; last chunk n=26 buckets to 64 -> 64+64 > 96
+        engine = InferenceEngine(lm, max_slots=1, max_seq_len=96,
+                                 prefill_chunk=32)
+        q = engine.submit(greedy_request("r1", prompt, n=4))
+        run_until_idle(engine)
+        toks, _ = collect(q)
+        assert toks == expected
+
     def test_short_prompts_take_the_single_dispatch_path(self, lm):
         engine = InferenceEngine(lm, max_slots=1, max_seq_len=128,
                                  prefill_chunk=64)
@@ -445,6 +460,14 @@ class TestStopStrings:
             if r.text:
                 texts.append(r.text)
         return toks, "".join(texts), reason
+
+    def test_earliest_match_position_wins(self):
+        """OpenAI stop semantics: the stop that occurs EARLIEST in the text
+        truncates, not the first one in tuple order."""
+        req = EngineRequest("x", [1], stop_strings=("world", "lo"))
+        seq = Sequence(req, queue.Queue())
+        out, stopped = seq.filter_stop("hello world")
+        assert stopped and out == "hel"
 
     def test_filter_holdback_and_cross_chunk_match(self):
         req = EngineRequest("x", [1], stop_strings=("XYZ",))

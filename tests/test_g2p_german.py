@@ -54,6 +54,14 @@ class TestNumerals:
         assert german_cardinal(2_000_000) == "zwei Millionen"
         assert german_cardinal(1_000_000_000) == "eine Milliarde"
 
+    def test_beyond_trillionen_reads_digits(self):
+        # >= 10^21 exceeds the named scale table: digit-by-digit fallback
+        # instead of an IndexError that would kill the request
+        from crane_tpu.text.german import german_cardinal
+        words = german_cardinal(10**22)
+        assert words.startswith("eins null null")
+        assert "Trillion" not in words
+
     def test_expand_numerals_standalone_only(self):
         assert expand_numerals("Ich habe 21 Katzen") == (
             "Ich habe einundzwanzig Katzen"
