@@ -782,6 +782,11 @@ def main(argv=None):
     ap.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel degree: shard the model over the "
                     "first N devices (models too large for one chip)")
+    ap.add_argument("--dp", type=int, default=1,
+                    help="data-parallel degree: shard the engine's slot "
+                    "batch over N devices (aggregate throughput; composes "
+                    "with --tp on a dp x tp mesh — max-concurrent must "
+                    "divide by dp)")
     ap.add_argument("--sp", type=int, default=1,
                     help="sequence-parallel degree: shard the KV cache's "
                     "sequence axis over the first N devices (contexts too "
@@ -822,14 +827,14 @@ def main(argv=None):
             lm = None
         else:
             lm = from_pretrained(args.model_path, dtype=dtype, quant_bits=quant_bits)
-    if lm is not None and args.tp > 1:
-        # tensor-parallel serving: weights + KV sharded over the first tp
-        # devices, every engine step runs SPMD (parallel/inference.py)
-        assert args.sp <= 1, "--tp and --sp are mutually exclusive"
+    if lm is not None and (args.tp > 1 or args.dp > 1):
+        # tensor/data-parallel serving: weights + KV heads over tp, slot
+        # batch over dp; every engine step runs SPMD (parallel/inference.py)
+        assert args.sp <= 1, "--tp/--dp and --sp are mutually exclusive"
         from crane_tpu.parallel.inference import shard_lm
         from crane_tpu.parallel.sharding import make_mesh
 
-        lm = shard_lm(lm, make_mesh(dp=1, tp=args.tp))
+        lm = shard_lm(lm, make_mesh(dp=args.dp, tp=args.tp))
     elif lm is not None and args.sp > 1:
         # sequence-parallel serving: KV sequence axis sharded over sp
         # devices — max_seq_len beyond one chip's HBM (parallel/sequence.py)

@@ -222,3 +222,43 @@ def test_remat_gradients_match(setup):
         lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
         g1, g2,
     )
+
+
+def test_dp_tp_engine_serving_matches_single_device(setup):
+    """--dp x --tp serving: slot batch sharded over dp, heads over tp;
+    engine admit + batched block-decode stream single-device tokens."""
+    from crane_tpu.generation.config import GenerationConfig
+    from crane_tpu.models.causal_lm import CausalLM
+    from crane_tpu.parallel.inference import shard_lm
+    from crane_tpu.serve.engine import InferenceEngine
+    from crane_tpu.serve.sequence import EngineRequest, SamplingOptions
+
+    cfg, _, _ = setup
+    params = init_params(cfg, seed=0, dtype=jnp.float32)
+    lm = CausalLM(cfg, params, dtype=jnp.float32)
+    prompts = [[3, 14, 15], [92, 6, 44, 12], [5, 6], [9, 9, 9]]
+    expected = [lm.generate(p, GenerationConfig.greedy(5)) for p in prompts]
+
+    slm = shard_lm(lm, make_mesh(dp=2, tp=2))
+    engine = InferenceEngine(slm, max_slots=4, max_seq_len=64,
+                             decode_tokens_per_seq=2)
+    qs = [
+        engine.submit(EngineRequest(
+            request_id=f"r{i}", prompt_ids=p, max_new_tokens=5,
+            sampling=SamplingOptions(do_sample=False, repetition_penalty=1.0),
+        ))
+        for i, p in enumerate(prompts)
+    ]
+    for _ in range(200):
+        if not engine.step() and engine.request_q.empty():
+            break
+    for q, exp in zip(qs, expected):
+        toks = []
+        while True:
+            r = q.get(timeout=60)
+            if r.finished:
+                assert r.error is None, r.error
+                break
+            if r.token is not None:
+                toks.append(r.token)
+        assert toks == exp
