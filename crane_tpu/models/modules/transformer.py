@@ -494,6 +494,36 @@ def attention_block(
         out = out.reshape(B, S, H * D)
         return linear(out, p["wo"], p.get("bo")), new_cache
 
+    # sequence-parallel continuation chunk: run the cached-continuation
+    # kernel per sequence slab (slab-shifted query positions) and merge the
+    # per-row softmax partials — same per-chip cost as ring attention with
+    # zero permutes, and peak HBM stays one slab instead of the GSPMD
+    # all-gather of the whole sharded cache (parallel/sequence.py)
+    use_sp_chunk = (
+        cfg.sequence_axis is not None
+        and read_cache
+        and S > 1
+        and extra_mask is None
+        and segments is None
+        and window is None
+        and sp_mosaic_ok
+        and (jax.default_backend() != "tpu" or D % 128 == 0)
+        and (isinstance(new_cache, QuantLayerKVCache)
+             or not hasattr(new_cache, "dequant"))
+    )
+    if use_sp_chunk:
+        from crane_tpu.parallel.sequence import sp_chunk_attention
+
+        out = sp_chunk_attention(
+            cfg.sequence_axis, new_cache, q, positions, scale=scale,
+            logit_softcap=cfg.attn_logit_softcap,
+            interpret=jax.default_backend() != "tpu",
+        )
+        if gate is not None:
+            out = out * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(out.dtype)
+        out = out.reshape(B, S, H * D)
+        return linear(out, p["wo"], p.get("bo")), new_cache
+
     if not read_cache:
         kc, vc = k, v
     elif hasattr(new_cache, "dequant"):

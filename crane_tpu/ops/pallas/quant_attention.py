@@ -421,7 +421,7 @@ def decode_attention_with_stats(
 def _cached_kernel(
     pos_sref, q_ref, k_ref, v_ref, pos_ref, *rest,
     bits, scale, block_q, block_k, window, logit_softcap, n_kv_heads, group,
-    head_dim,
+    head_dim, return_stats,
 ):
     """Continuation-chunk attention reading cache buffers AS STORED.
 
@@ -435,9 +435,14 @@ def _cached_kernel(
     """
     if bits == 16:
         ks_ref = vs_ref = None
-        o_ref, m_scr, l_scr, acc_scr = rest
+        rest2 = rest
     else:
-        ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = rest
+        ks_ref, vs_ref, *rest2 = rest
+    if return_stats:
+        o_ref, ms_ref, ls_ref, m_scr, l_scr, acc_scr = rest2
+    else:
+        o_ref, m_scr, l_scr, acc_scr = rest2
+        ms_ref = ls_ref = None
     j = pl.program_id(2)
     nj = pl.num_programs(2)
     Hq = n_kv_heads * group
@@ -548,10 +553,14 @@ def _cached_kernel(
             denom = l_scr[h][:, :1]
             denom = jnp.where(denom == 0.0, 1.0, denom)
             o_ref[0, :, h, :] = (acc_scr[h] / denom).astype(o_ref.dtype)
+        if return_stats:
+            ms_ref[0] = m_scr[:, :, 0]  # [Hq, Bq]
+            ls_ref[0] = l_scr[:, :, 0]
 
 
 def _cached_attention(q, k, v, k_scale, v_scale, positions, *, bits, scale,
-                      window, logit_softcap, block_q, block_k, interpret):
+                      window, logit_softcap, block_q, block_k, interpret,
+                      return_stats=False):
     B, S, Hq, D = q.shape
     T = k.shape[1]
     if bits == 16:
@@ -583,7 +592,12 @@ def _cached_attention(q, k, v, k_scale, v_scale, positions, *, bits, scale,
         pos = jnp.pad(pos, ((0, 0), (0, pad_q)), mode="edge")
 
     def kv_index(b, i, j, pos_s):
+        # max(0, .): sequence-parallel slabs shift query positions into
+        # slab-local coordinates, so rows entirely before this slab carry
+        # NEGATIVE positions (they attend nothing here; the in-kernel mask
+        # handles it) — the block index must still be in range
         jj = jnp.minimum(j, pos_s[b, i * block_q + block_q - 1] // block_k)
+        jj = jnp.maximum(jj, 0)
         if window is not None:
             jj = jnp.maximum(jj, jnp.maximum(
                 (pos_s[b, i * block_q] - window + 1) // block_k, 0))
@@ -593,6 +607,7 @@ def _cached_attention(q, k, v, k_scale, v_scale, positions, *, bits, scale,
 
     def sc_index(b, i, j, pos_s):
         jj = jnp.minimum(j, pos_s[b, i * block_q + block_q - 1] // block_k)
+        jj = jnp.maximum(jj, 0)
         if window is not None:
             jj = jnp.maximum(jj, jnp.maximum(
                 (pos_s[b, i * block_q] - window + 1) // block_k, 0))
@@ -601,7 +616,7 @@ def _cached_attention(q, k, v, k_scale, v_scale, positions, *, bits, scale,
     kernel = functools.partial(
         _cached_kernel, bits=bits, scale=scale, block_q=block_q,
         block_k=block_k, window=window, logit_softcap=logit_softcap,
-        n_kv_heads=Hkv, group=G, head_dim=D,
+        n_kv_heads=Hkv, group=G, head_dim=D, return_stats=return_stats,
     )
     kv_block = ((1, block_k, Hkv, D) if bits == 16
                 else (1, block_k, Hkv * (D // 2 if bits == 4 else D)))
@@ -620,21 +635,29 @@ def _cached_attention(q, k, v, k_scale, v_scale, positions, *, bits, scale,
         ]
         operands += [k_scale, v_scale]
     kv_elem = (0.5 if bits == 4 else 1) if bits != 16 else k.dtype.itemsize
-    out = pl.pallas_call(
+    out_specs = pl.BlockSpec(
+        (1, block_q, Hq, D), lambda b, i, j, pos_s: (b, i, 0, 0))
+    out_shape = jax.ShapeDtypeStruct((B, Sq, Hq, D), q.dtype)
+    if return_stats:
+        stat_spec = pl.BlockSpec((1, Hq, block_q),
+                                 lambda b, i, j, pos_s: (b, 0, i))
+        stat_shape = jax.ShapeDtypeStruct((B, Hq, Sq), jnp.float32)
+        out_specs = (out_specs, stat_spec, stat_spec)
+        out_shape = (out_shape, stat_shape, stat_shape)
+    res = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B, Sq // block_q, T // block_k),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec(
-                (1, block_q, Hq, D), lambda b, i, j, pos_s: (b, i, 0, 0)),
+            out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((Hq, block_q, 128), jnp.float32),  # running max
                 pltpu.VMEM((Hq, block_q, 128), jnp.float32),  # running sum
                 pltpu.VMEM((Hq, block_q, D), jnp.float32),  # out accumulator
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((B, Sq, Hq, D), q.dtype),
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=int(2 * 2 * B * Hq * Sq * T * D // 2),
             bytes_accessed=int(2 * B * T * Hkv * D * kv_elem
@@ -643,7 +666,27 @@ def _cached_attention(q, k, v, k_scale, v_scale, positions, *, bits, scale,
         ),
         interpret=interpret,
     )(*operands)
-    return out[:, :S]
+    if return_stats:
+        out, ms, ls = res
+        return out[:, :S], ms[:, :, :S], ls[:, :, :S]
+    return res[:, :S]
+
+
+def cached_attention_with_stats(
+    q, k, v, k_scale, v_scale, positions, *,
+    bits, scale, window=None, logit_softcap=None, block_q=256, block_k=512,
+    interpret=False,
+):
+    """Continuation-chunk attention returning ``(out, m, l)`` with per-row
+    softmax stats ``[B, Hq, S]`` — the sequence-parallel prefill path:
+    every chip runs this over its local sequence slab with slab-shifted
+    query positions and the partials merge exactly (parallel/sequence.py).
+    Same per-chip cost as ring attention (C x T/n) with zero permutes —
+    queries are small (a chunk), so replicating them beats rotating KV."""
+    return _cached_attention(
+        q, k, v, k_scale, v_scale, positions, bits=bits, scale=scale,
+        window=window, logit_softcap=logit_softcap, block_q=block_q,
+        block_k=block_k, interpret=interpret, return_stats=True)
 
 
 @functools.lru_cache(maxsize=None)

@@ -91,6 +91,67 @@ def sp_decode_attention(
     return _merge(q, out, m, l, axis)
 
 
+def sp_cached_attention(
+    q, k, v, k_scale, v_scale, positions, *, axis, bits, scale,
+    logit_softcap=None, block_q=256, block_k=512, interpret=False,
+):
+    """Runs INSIDE shard_map: continuation-chunk prefill over this device's
+    sequence slab. Query positions shift into slab-local coordinates (rows
+    before the slab go negative and attend nothing); partials merge with
+    the same log-sum-exp combine as decode, per query row. Per-chip cost
+    equals ring attention's (chunk x slab) with zero permutes — the chunk
+    is small, so replicating queries beats rotating KV slabs, and peak HBM
+    stays at one slab instead of the GSPMD all-gather of the full cache."""
+    from crane_tpu.ops.pallas.quant_attention import cached_attention_with_stats
+
+    idx = jax.lax.axis_index(axis)
+    t_local = k.shape[1]
+    pos_local = positions.astype(jnp.int32) - idx * t_local
+    out, m, l = cached_attention_with_stats(
+        q, k, v, k_scale, v_scale, pos_local, bits=bits, scale=scale,
+        logit_softcap=logit_softcap, block_q=block_q,
+        block_k=_local_block(block_k, t_local), interpret=interpret)
+    # per-row merge: m/l [B, Hq, S], out [B, S, Hq, D]
+    m_max = jax.lax.pmax(m, axis)
+    w = jnp.where(l > 0.0, l * jnp.exp(m - m_max), 0.0)  # [B, Hq, S]
+    denom = jax.lax.psum(w, axis)
+    wt = w.transpose(0, 2, 1)[..., None]  # [B, S, Hq, 1]
+    num = jax.lax.psum(out.astype(jnp.float32) * wt, axis)
+    denom = jnp.maximum(denom, 1e-30).transpose(0, 2, 1)[..., None]
+    return (num / denom).astype(q.dtype)
+
+
+def sp_chunk_attention(cfg_axis, layer_cache, q, positions, *, scale,
+                       logit_softcap=None, interpret=False):
+    """shard_map entry for the cached-continuation chunk under sp."""
+    mesh = sequence_mesh(cfg_axis)
+    ax = cfg_axis
+    if isinstance(layer_cache, QuantLayerKVCache):
+        bits = layer_cache.bits
+        fn = jax.shard_map(
+            lambda qq, kk, vv, ks, vs, pp: sp_cached_attention(
+                qq, kk, vv, ks, vs, pp, axis=ax, bits=bits, scale=scale,
+                logit_softcap=logit_softcap, interpret=interpret),
+            mesh=mesh,
+            in_specs=(P(), P(None, ax, None), P(None, ax, None),
+                      P(None, None, ax), P(None, None, ax), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+        return fn(q, layer_cache.k, layer_cache.v, layer_cache.k_scale,
+                  layer_cache.v_scale, positions)
+    fn = jax.shard_map(
+        lambda qq, kk, vv, pp: sp_cached_attention(
+            qq, kk, vv, None, None, pp, axis=ax, bits=16, scale=scale,
+            logit_softcap=logit_softcap, interpret=interpret),
+        mesh=mesh,
+        in_specs=(P(), P(None, ax, None, None), P(None, ax, None, None), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(q, layer_cache.k, layer_cache.v, positions)
+
+
 def sp_attention(cfg_axis, layer_cache, q, kv_valid, *, scale,
                  logit_softcap=None, interpret=False):
     """shard_map entry used by attention_block when ``cfg.sequence_axis``

@@ -149,3 +149,50 @@ def test_sp_sliding_window_hybrid_matches():
     assert not cache.layers[1].k.sharding.is_fully_replicated
     got = slm.generate(prompt, GenerationConfig.greedy(8))
     assert got == expected
+
+
+def test_sp_chunked_prefill_matches_single_device(lm):
+    """Continuation chunks under sp run the cached kernel per slab with
+    slab-shifted positions and per-row log-sum-exp merge (the sp prefill
+    path that avoids GSPMD's full-cache all-gather)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    first = rng.integers(1, 500, 20)[None].astype(np.int32)
+    chunk = rng.integers(1, 500, 8)[None].astype(np.int32)
+
+    ref_cache = lm.init_cache(1, 64)
+    _, ref_cache = lm.prefill_slot(ref_cache, first, 0, 20)
+    ref_out, ref_cache = lm.prefill_slot_continue(ref_cache, chunk, 0, 20, 8)
+
+    slm = sp_shard_lm(lm, make_sp_mesh(4))
+    sp_cache = slm.init_cache(1, 64)
+    _, sp_cache = slm.prefill_slot(sp_cache, first, 0, 20)
+    sp_out, sp_cache = slm.prefill_slot_continue(sp_cache, chunk, 0, 20, 8)
+    np.testing.assert_allclose(
+        np.asarray(sp_out, np.float32), np.asarray(ref_out, np.float32),
+        atol=2e-4, rtol=2e-4)
+
+    # and the engine's chunked admission end-to-end under sp
+    from crane_tpu.serve.engine import InferenceEngine
+    from crane_tpu.serve.sequence import EngineRequest, SamplingOptions
+
+    prompt = list(rng.integers(1, 500, 40))
+    expected = lm.generate(prompt, GenerationConfig.greedy(5))
+    engine = InferenceEngine(slm, max_slots=1, max_seq_len=64,
+                             prefill_chunk=16)
+    q = engine.submit(EngineRequest(
+        request_id="r", prompt_ids=prompt, max_new_tokens=5,
+        sampling=SamplingOptions(do_sample=False, repetition_penalty=1.0)))
+    for _ in range(200):
+        if not engine.step() and engine.request_q.empty():
+            break
+    toks = []
+    while True:
+        r = q.get(timeout=60)
+        if r.finished:
+            assert r.error is None, r.error
+            break
+        if r.token is not None:
+            toks.append(r.token)
+    assert toks == expected
