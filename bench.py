@@ -550,19 +550,23 @@ def bench_multiturn() -> None:
     host_sync(logits)
     chunk_ids = rng.integers(0, cfg.vocab_size, CHUNK)[None].astype(np.int32)
 
-    def run_chain(n_chunks: int) -> float:
-        cache = jax.tree.map(jnp.copy, cache0)
-        out, cache = lm.prefill_slot_continue(cache, chunk_ids, 0, S, CHUNK)
-        host_sync(out)
-        t0 = time.perf_counter()
-        start = S + CHUNK
-        for _ in range(n_chunks):
-            out, cache = lm.prefill_slot_continue(
-                cache, chunk_ids, 0, start, CHUNK)
-            start += CHUNK
-        host_sync(out)
-        return time.perf_counter() - t0
+    def make_chain(model):
+        def run_chain(n_chunks: int) -> float:
+            cache = jax.tree.map(jnp.copy, cache0)
+            out, cache = model.prefill_slot_continue(
+                cache, chunk_ids, 0, S, CHUNK)
+            host_sync(out)
+            t0 = time.perf_counter()
+            start = S + CHUNK
+            for _ in range(n_chunks):
+                out, cache = model.prefill_slot_continue(
+                    cache, chunk_ids, 0, start, CHUNK)
+                start += CHUNK
+            host_sync(out)
+            return time.perf_counter() - t0
+        return run_chain
 
+    run_chain = make_chain(lm)
     tok_s, group_medians = _marginal_groups(run_chain, 2, 10, 8 * CHUNK)
 
     # same-session XLA baseline (CRANE_NO_FLASH read at trace time; a
@@ -575,32 +579,16 @@ def bench_multiturn() -> None:
     lm_xla = CausalLM(cfg_xla, lm.params, dtype=jnp.bfloat16)
     os.environ["CRANE_NO_FLASH"] = "1"
     try:
-        cache_x = jax.tree.map(jnp.copy, cache0)
-        out, cache_x = lm_xla.prefill_slot_continue(cache_x, chunk_ids, 0, S, CHUNK)
-        host_sync(out)
-
-        def run_chain_xla(n_chunks: int) -> float:
-            cache = jax.tree.map(jnp.copy, cache0)
-            out, cache = lm_xla.prefill_slot_continue(cache, chunk_ids, 0, S, CHUNK)
-            host_sync(out)
-            t0 = time.perf_counter()
-            start = S + CHUNK
-            for _ in range(n_chunks):
-                out, cache = lm_xla.prefill_slot_continue(
-                    cache, chunk_ids, 0, start, CHUNK)
-                start += CHUNK
-            host_sync(out)
-            return time.perf_counter() - t0
-
-        xla_tok_s, _ = _marginal_groups(run_chain_xla, 2, 10, 8 * CHUNK,
+        xla_tok_s, _ = _marginal_groups(make_chain(lm_xla), 2, 10, 8 * CHUNK,
                                         groups=1, reps=3)
     finally:
         del os.environ["CRANE_NO_FLASH"]
     print(json.dumps({
-        "metric": "qwen3_0.6b_multiturn_prefill_tok_s_at_16k_int8kv",
+        "metric": "qwen3_0.6b_multiturn_prefill_tok_s_16k_22k_int8kv",
         "value": round(tok_s, 1), "unit": "tokens/sec",
         "vs_baseline": round(tok_s / max(xla_tok_s, 1e-9), 3),
-        "detail": {"chunk": CHUNK, "xla_path_tok_s": round(xla_tok_s, 1),
+        "detail": {"chunk": CHUNK, "ctx_range": [S + 3 * CHUNK, S + 11 * CHUNK],
+                   "xla_path_tok_s": round(xla_tok_s, 1),
                    "group_medians": [round(r, 0) for r in group_medians]},
     }))
 

@@ -360,6 +360,15 @@ def attention_block(
     new_cache = layer_cache.update(k, v, cache_positions, row=cache_row)
     scale = cfg.query_scale if cfg.query_scale is not None else D ** -0.5
 
+    def finish(out):
+        # shared epilogue for every attention path: optional sigmoid output
+        # gate (2x-wide q_proj carries it), head merge, output projection
+        if gate is not None:
+            g = jax.nn.sigmoid(gate.astype(jnp.float32)).astype(out.dtype)
+            out = out * g
+        out = out.reshape(B, S, H * D)
+        return linear(out, p["wo"], p.get("bo")), new_cache
+
     # sequence-parallel decode: the cache's sequence axis is sharded over
     # cfg.sequence_axis (contexts beyond one chip's HBM); run the fused
     # kernel per sequence slab inside shard_map and log-sum-exp merge the
@@ -376,8 +385,10 @@ def attention_block(
 
         n_sp = sequence_mesh(cfg.sequence_axis).shape[cfg.sequence_axis]
         slab = new_cache.k.shape[1] // n_sp
+        # slabs only need sublane (8) alignment — _local_block shrinks the
+        # kernel block to divide the slab; head_dim is the lane axis
         sp_mosaic_ok = (
-            slab % 256 == 0
+            slab % 8 == 0
             and (D % 64 == 0 if isinstance(new_cache, QuantLayerKVCache)
                  else D % 128 == 0)
         )
@@ -401,10 +412,7 @@ def attention_block(
             scale=scale, logit_softcap=cfg.attn_logit_softcap,
             interpret=jax.default_backend() != "tpu",
         )
-        if gate is not None:
-            out = out * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(out.dtype)
-        out = out.reshape(B, S, H * D)
-        return linear(out, p["wo"], p.get("bo")), new_cache
+        return finish(out)
 
     use_fused_quant = (
         read_cache
@@ -450,10 +458,7 @@ def attention_block(
             # guarantees max_t % 256 == 0, but not % 512 — e.g. 768)
             block_t=512 if max_t % 512 == 0 else 256,
         )
-        if gate is not None:
-            out = out * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(out.dtype)
-        out = out.reshape(B, S, H * D)
-        return linear(out, p["wo"], p.get("bo")), new_cache
+        return finish(out)
 
     # cached-continuation prefill over an int8/int4 quant cache: the kernel
     # reads the flat [B, T, Hkv*stored] codes in storage layout with dequant
@@ -489,10 +494,7 @@ def attention_block(
             logit_softcap=cfg.attn_logit_softcap,
             block_k=512 if max_t % 512 == 0 else 256,
         )
-        if gate is not None:
-            out = out * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(out.dtype)
-        out = out.reshape(B, S, H * D)
-        return linear(out, p["wo"], p.get("bo")), new_cache
+        return finish(out)
 
     # sequence-parallel continuation chunk: run the cached-continuation
     # kernel per sequence slab (slab-shifted query positions) and merge the
@@ -519,10 +521,7 @@ def attention_block(
             logit_softcap=cfg.attn_logit_softcap,
             interpret=jax.default_backend() != "tpu",
         )
-        if gate is not None:
-            out = out * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(out.dtype)
-        out = out.reshape(B, S, H * D)
-        return linear(out, p["wo"], p.get("bo")), new_cache
+        return finish(out)
 
     if not read_cache:
         kc, vc = k, v
@@ -582,10 +581,7 @@ def attention_block(
             logit_softcap=cfg.attn_logit_softcap,
             extra_mask=extra_mask,
         )
-    if gate is not None:
-        out = out * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(out.dtype)
-    out = out.reshape(B, S, H * D)
-    return linear(out, p["wo"], p.get("bo")), new_cache
+    return finish(out)
 
 
 def short_conv_block(

@@ -831,6 +831,9 @@ def main(argv=None):
         # tensor/data-parallel serving: weights + KV heads over tp, slot
         # batch over dp; every engine step runs SPMD (parallel/inference.py)
         assert args.sp <= 1, "--tp/--dp and --sp are mutually exclusive"
+        assert args.max_concurrent % max(args.dp, 1) == 0, (
+            f"--max-concurrent {args.max_concurrent} must divide by "
+            f"--dp {args.dp} (slots shard evenly over the dp axis)")
         from crane_tpu.parallel.inference import shard_lm
         from crane_tpu.parallel.sharding import make_mesh
 

@@ -41,14 +41,20 @@ class Lexicon:
         as sorted alternatives (lexicon.rs multi-pronunciation packing)."""
         opener = gzip.open if path.endswith(".gz") else open
         with opener(path, "rt", encoding="utf-8") as f:
-            return cls.from_tsv_text(f.read())
+            try:
+                return cls.from_tsv_text(f.read())
+            except ValueError as e:
+                raise ValueError(f"{path}: {e}") from None
 
     @classmethod
     def from_tsv_text(cls, content: str) -> "Lexicon":
         """Same format as :meth:`from_tsv`, from in-memory TSV content
         (reference GermanG2p::new takes lexicon content, german.rs:45-47)."""
         raw: dict[str, set] = {}
-        for lineno, line in enumerate(content.splitlines(), 1):
+        # split on \n only: splitlines() also breaks on \x0b/\x85/\u2028,
+        # which can legitimately appear inside IPA fields
+        for lineno, line in enumerate(content.split("\n"), 1):
+            line = line.rstrip("\r")
             if not line or line.startswith("#"):
                 continue
             if "\t" not in line:
