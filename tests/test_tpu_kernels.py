@@ -243,3 +243,53 @@ def test_decode_stats_variant_on_chip(bits):
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         atol=1e-6, rtol=1e-6)
     assert np.all(np.isfinite(np.asarray(m))) and np.all(np.asarray(l) > 0)
+
+
+@pytest.mark.parametrize("bits", [16, 8])
+def test_cached_stats_variant_on_chip(bits):
+    """The sp continuation merge consumes the cached kernel's (m, l) stats
+    outputs — check the Mosaic lowering against the plain variant, including
+    slab-shifted NEGATIVE positions (rows attending nothing)."""
+    from crane_tpu.ops.kv_cache import LayerKVCache, QuantLayerKVCache
+    from crane_tpu.ops.pallas.quant_attention import (
+        cached_attention_with_stats,
+        quant_cached_attention,
+    )
+
+    B, ctx, S, T, Hq, Hkv, D = 1, 700, 256, 2048, 16, 8, 128
+    k_new = rng(B, ctx + S, Hkv, D, seed=41, dtype=jnp.float32)
+    v_new = rng(B, ctx + S, Hkv, D, seed=42, dtype=jnp.float32)
+    q = rng(B, S, Hq, D, seed=43)
+    positions = jnp.broadcast_to(
+        jnp.arange(S, dtype=jnp.int32)[None] + ctx, (B, S))
+
+    if bits == 16:
+        cache = LayerKVCache.empty(B, T, Hkv, D, jnp.bfloat16)
+        cache = cache.update(k_new.astype(jnp.bfloat16),
+                             v_new.astype(jnp.bfloat16),
+                             jnp.zeros((B,), jnp.int32))
+        kv_args = (cache.k, cache.v, None, None)
+    else:
+        cache = QuantLayerKVCache.empty(B, T, Hkv, D, bits=8)
+        cache = cache.update(k_new, v_new, jnp.zeros((B,), jnp.int32))
+        kv_args = (cache.k, cache.v, cache.k_scale, cache.v_scale)
+
+    out, m, l = cached_attention_with_stats(
+        q, *kv_args, positions, bits=bits, scale=D ** -0.5,
+        block_q=128, block_k=512)
+    ref = quant_cached_attention(
+        q, *kv_args, positions, n_kv_heads=Hkv, bits=bits, scale=D ** -0.5,
+        block_q=128, block_k=512)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=1e-6, rtol=1e-6)
+    assert np.all(np.asarray(l) > 0)
+
+    # negative positions (a later slab's view of an earlier chunk): rows
+    # attend nothing -> zero output, l == 0
+    neg = positions - 4096
+    out2, m2, l2 = cached_attention_with_stats(
+        q, *kv_args, neg, bits=bits, scale=D ** -0.5,
+        block_q=128, block_k=512)
+    np.testing.assert_array_equal(np.asarray(l2), 0.0)
+    np.testing.assert_array_equal(np.asarray(out2, np.float32), 0.0)
