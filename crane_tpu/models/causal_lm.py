@@ -138,7 +138,23 @@ def _decode_active(cfg, params, rope, cache, tokens, recent, sp, key, active, n_
 
 
 @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(3,))
-def _verify_step(cfg, params, rope, cache, tokens):
+def _verify_slot(cfg, params, rope, cache, tokens, slot):
+    """Speculative verify for ONE slot of a multi-slot cache (the engine's
+    single-stream fast path): slice the row, run :func:`_verify_step`, merge
+    the updated row (including its advanced length) back."""
+    row = jax.tree.map(
+        lambda a: jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=0), cache
+    )
+    model_tok, n_acc, new_row = _verify_body(cfg, params, rope, row, tokens)
+    merged = jax.tree.map(
+        lambda a, r: jax.lax.dynamic_update_slice_in_dim(
+            a, r.astype(a.dtype), slot, axis=0),
+        cache, new_row,
+    )
+    return model_tok, n_acc, merged
+
+
+def _verify_body(cfg, params, rope, cache, tokens):
     """Speculative-decoding verify: ``tokens [B, K+1]`` = [cur, d1..dK]
     (the last emitted token plus K drafts), written/attended at positions
     ``lengths..lengths+K``. One forward scores every draft; greedy
@@ -161,6 +177,11 @@ def _verify_step(cfg, params, rope, cache, tokens):
     n_accept = jnp.cumprod(match, axis=1).sum(axis=1)
     new_cache = dataclasses.replace(new_cache, lengths=start + n_accept + 1)
     return model_tok, n_accept, new_cache
+
+
+_verify_step = functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(3,))(
+    _verify_body
+)
 
 
 def ngram_propose(history: list, n: int, k: int, pad: int = 0) -> list:
@@ -286,6 +307,13 @@ class CausalLM:
         return _verify_step(
             self.config, self.params, self.rope, cache,
             jnp.asarray(tokens, jnp.int32),
+        )
+
+    def verify_slot(self, cache, tokens, slot: int):
+        """Speculative verify for one row of a multi-slot serving cache."""
+        return _verify_slot(
+            self.config, self.params, self.rope, cache,
+            jnp.asarray(tokens, jnp.int32), jnp.asarray(slot, jnp.int32),
         )
 
     def decode_steps(self, cache, tokens, recent, sp: SamplingParams, key, n_steps: int):

@@ -772,6 +772,9 @@ def main(argv=None):
                     help="seconds a fresh request may starve before the "
                     "longest-running sequence is preempted and requeued "
                     "(<=0 disables)")
+    ap.add_argument("--speculative", default=None, choices=[None, "ngram"],
+                    help="prompt-lookup speculative decode for lone greedy "
+                    "streams (exact; batched decode resumes at 2+ streams)")
     ap.add_argument("--prefill-chunk", type=int, default=0,
                     help="admit prompts longer than this in chunks, with a "
                     "decode block for running sequences interleaved between "
@@ -853,6 +856,7 @@ def main(argv=None):
             kv_quant_bits={"int8": 8, "int4": 4}.get(args.kv_quant),
             preempt_after_s=args.preempt_after if args.preempt_after > 0 else None,
             prefill_chunk=args.prefill_chunk if args.prefill_chunk > 0 else None,
+            speculative=args.speculative,
         )
     tts = asr = vlm = None
     if args.vlm_path:

@@ -129,6 +129,9 @@ class InferenceEngine:
         kv_quant_bits: int | None = None,
         preempt_after_s: float | None = 30.0,
         prefill_chunk: int | None = None,
+        speculative: str | None = None,
+        spec_k: int = 8,
+        spec_ngram: int = 3,
     ):
         self.lm = lm
         self.max_slots = max_slots
@@ -148,6 +151,14 @@ class InferenceEngine:
         # TPU). None = whole-prompt prefill (one dispatch, lowest latency
         # for the admitted request).
         self.prefill_chunk = prefill_chunk
+        # speculative decoding ("ngram" = prompt-lookup drafts): when
+        # exactly one greedy penalty-free sequence is running, a verify
+        # forward scores spec_k drafts and emits 1..spec_k+1 tokens for one
+        # weight-HBM pass — byte-identical to sequential greedy decode.
+        # Batched decode resumes the moment a second sequence is admitted.
+        self.speculative = speculative
+        self.spec_k = spec_k
+        self.spec_ngram = spec_ngram
         self._pending: Optional[dict] = None
 
         _check_hbm_budget(lm, max_slots, max_seq_len, kv_quant_bits)
@@ -205,6 +216,10 @@ class InferenceEngine:
                 self._key, self.active, n,
             )
             out.block_until_ready()
+        if self.speculative:
+            toks = np.zeros((1, self.spec_k + 1), np.int32)
+            model_tok, _, self.cache = self.lm.verify_slot(self.cache, toks, 0)
+            model_tok.block_until_ready()
         # reset state touched by warmup
         self.cache = jax.tree.map(lambda a: jnp.zeros_like(a), self.cache)
         self.recent = jnp.full((self.max_slots, RECENT_WINDOW), -1, jnp.int32)
@@ -257,6 +272,10 @@ class InferenceEngine:
             return True
 
         if any(self.active):
+            spec_seq = self._spec_candidate()
+            if spec_seq is not None:
+                self._spec_block(spec_seq)
+                return True
             n = self.decode_tokens_per_seq
             if self.scheduler.waiting and (
                 any(s is None for s in self.slots) or self._preempt_imminent()
@@ -545,6 +564,46 @@ class InferenceEngine:
             self.stats.requests_completed += 1
         self.stats.generated_tokens += len(seq.generated)
         seq.send_finished(reason)
+
+    def _spec_candidate(self):
+        """The single running sequence eligible for speculative decode, or
+        None. Exact only for greedy penalty-free sampling; requires spec_k+1
+        slots of cache headroom (the verify chunk must not clamp at the
+        buffer end)."""
+        if self.speculative != "ngram":
+            return None
+        running = [s for s in self.slots if s is not None]
+        if len(running) != 1 or not self.active[running[0].slot]:
+            return None
+        seq = running[0]
+        samp = seq.request.sampling
+        if samp.do_sample or samp.repetition_penalty != 1.0:
+            return None
+        pos = len(seq.request.prompt_ids) + len(seq.generated)
+        if pos + self.spec_k + 1 > self.max_seq_len:
+            return None
+        return seq
+
+    def _spec_block(self, seq):
+        """One prompt-lookup speculative step for the lone running sequence
+        (reference has no counterpart; exact-greedy property tested
+        byte-identical vs the batched decode path)."""
+        from crane_tpu.models.causal_lm import ngram_propose
+
+        t0 = time.perf_counter()
+        history = list(seq.request.prompt_ids) + seq.generated
+        drafts = ngram_propose(history, self.spec_ngram, self.spec_k)
+        toks_in = np.asarray([[history[-1]] + drafts], np.int32)
+        model_tok, n_acc, self.cache = self.lm.verify_slot(
+            self.cache, toks_in, seq.slot)
+        emitted = np.asarray(model_tok[0, : int(n_acc[0]) + 1]).tolist()
+        slot = seq.slot
+        for t in emitted:
+            if not self._emit(seq, t):
+                break
+        if self.slots[slot] is seq:  # still running: next step continues
+            self.cur_tokens = self.cur_tokens.at[slot].set(seq.generated[-1])
+        self.stats.decode_time_s += time.perf_counter() - t0
 
     def _decode_block(self, n_steps: int):
         t0 = time.perf_counter()

@@ -494,3 +494,65 @@ class TestStopStrings:
                                        stop=["£NEVER£"])
         assert reason == FinishReason.LENGTH
         assert text == full  # holdback fully flushed at finish
+
+
+class TestSpeculativeEngine:
+    """Engine-level prompt-lookup speculative decode: exact greedy fast
+    path when one sequence runs alone (no reference counterpart)."""
+
+    def _collect(self, engine, reqs):
+        qs = [engine.submit(r) for r in reqs]
+        run_until_idle(engine)
+        outs = []
+        for q in qs:
+            toks, reason = collect(q)
+            outs.append(toks)
+        return outs
+
+    def test_single_stream_byte_identical(self, lm):
+        # repetitive prompt: drafts actually get accepted
+        prompt = [5, 6, 7, 8] * 6
+        plain = InferenceEngine(lm, max_slots=2, max_seq_len=128)
+        spec = InferenceEngine(lm, max_slots=2, max_seq_len=128,
+                               speculative="ngram")
+        [exp] = self._collect(plain, [greedy_request("a", prompt, n=12)])
+        [got] = self._collect(spec, [greedy_request("b", prompt, n=12)])
+        assert got == exp
+
+    def test_two_streams_fall_back_to_batched(self, lm):
+        prompts = [[3, 14, 15, 9], [92, 6, 44]]
+        plain = InferenceEngine(lm, max_slots=2, max_seq_len=128)
+        spec = InferenceEngine(lm, max_slots=2, max_seq_len=128,
+                               speculative="ngram")
+        exp = self._collect(plain, [greedy_request(f"p{i}", p, n=6)
+                                    for i, p in enumerate(prompts)])
+        got = self._collect(spec, [greedy_request(f"s{i}", p, n=6)
+                                   for i, p in enumerate(prompts)])
+        assert got == exp
+
+    def test_sampling_requests_not_speculated(self, lm):
+        from crane_tpu.serve.sequence import EngineRequest, SamplingOptions
+
+        prompt = [5, 6, 7, 8, 5, 6, 7, 8]
+        mk = lambda rid: EngineRequest(
+            request_id=rid, prompt_ids=prompt, max_new_tokens=8,
+            sampling=SamplingOptions(do_sample=True, temperature=0.8, seed=7,
+                                     repetition_penalty=1.0),
+        )
+        plain = InferenceEngine(lm, max_slots=1, max_seq_len=128)
+        spec = InferenceEngine(lm, max_slots=1, max_seq_len=128,
+                               speculative="ngram")
+        [exp] = self._collect(plain, [mk("a")])
+        [got] = self._collect(spec, [mk("b")])
+        assert got == exp  # same seed, same batched path
+
+    def test_headroom_guard_near_buffer_end(self, lm):
+        # position close to max_seq: spec must decline (the verify chunk
+        # would clamp at the buffer end), falling back to plain decode
+        prompt = [5, 6, 7, 8] * 13  # 52 tokens in a 64-slot cache
+        plain = InferenceEngine(lm, max_slots=1, max_seq_len=64)
+        spec = InferenceEngine(lm, max_slots=1, max_seq_len=64,
+                               speculative="ngram")
+        [exp] = self._collect(plain, [greedy_request("a", prompt, n=10)])
+        [got] = self._collect(spec, [greedy_request("b", prompt, n=10)])
+        assert got == exp
