@@ -597,6 +597,8 @@ class InferenceEngine:
         model_tok, n_acc, self.cache = self.lm.verify_slot(
             self.cache, toks_in, seq.slot)
         emitted = np.asarray(model_tok[0, : int(n_acc[0]) + 1]).tolist()
+        self.stats.spec_steps += 1
+        self.stats.spec_tokens += len(emitted)
         slot = seq.slot
         for t in emitted:
             if not self._emit(seq, t):

@@ -21,6 +21,8 @@ class EngineStats:
         self.prefill_time_s = 0.0
         self.decode_time_s = 0.0
         self.engine_steps = 0
+        self.spec_steps = 0       # speculative verify forwards run
+        self.spec_tokens = 0      # tokens emitted by speculative steps
 
     def snapshot(self, *, running: int = 0, waiting: int = 0) -> dict:
         uptime = time.monotonic() - self.started_at
@@ -34,6 +36,8 @@ class EngineStats:
             "prompt_tokens": self.prompt_tokens,
             "generated_tokens": self.generated_tokens,
             "engine_steps": self.engine_steps,
+            "spec_steps": self.spec_steps,
+            "spec_tokens": self.spec_tokens,
             "running": running,
             "waiting": waiting,
             "prefill_tok_s": round(
