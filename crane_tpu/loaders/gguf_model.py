@@ -238,11 +238,30 @@ def _map_gguf_gdn(cfg: TransformerConfig, r: GGUFReader, b: str, dtype) -> dict:
     conv = r.tensor(b + "ssm_conv1d.weight")  # [conv_dim, kernel]
     v_rows = conv[2 * kd :].reshape(g.num_v_heads, V, -1)[perm].reshape(vd, -1)
     conv = np.concatenate([conv[: 2 * kd], v_rows], axis=0)
+
+    # fuse the split projections into HF's k-head-major qkvz / ba column
+    # layout (per k-head: [q K | k K | v vg*V | z vg*V]) so GGUF hybrids
+    # take the SAME fused compute path as safetensors checkpoints — and the
+    # same Megatron column sharding under --tp (parallel/sharding.py
+    # gdn_spec: the concat [q_all|k_all|v_all] layout cannot shard by head)
+    Hk = g.num_k_heads
+    qkvz_blocks, ba_blocks = [], []
+    for h in range(Hk):
+        qkvz_blocks += [
+            qkv[:, h * K : (h + 1) * K],                         # q_h
+            qkv[:, kd + h * K : kd + (h + 1) * K],               # k_h
+            qkv[:, 2 * kd + h * vg * V : 2 * kd + (h + 1) * vg * V],  # v group
+            z[:, h * vg * V : (h + 1) * vg * V],                 # z group
+        ]
+        ba_blocks += [
+            beta[:, h * vg : (h + 1) * vg],
+            alpha[:, h * vg : (h + 1) * vg],
+        ]
+    qkvz = np.concatenate(qkvz_blocks, axis=1)
+    ba = np.concatenate(ba_blocks, axis=1)
     return {
-        "in_proj_qkv": jnp.asarray(qkv, dtype),
-        "in_proj_z": jnp.asarray(z, dtype),
-        "in_proj_b": jnp.asarray(beta, dtype),
-        "in_proj_a": jnp.asarray(alpha, dtype),
+        "in_proj_qkvz": jnp.asarray(qkvz, dtype),
+        "in_proj_ba": jnp.asarray(ba, dtype),
         "conv_w": jnp.asarray(conv, jnp.float32),
         "dt_bias": jnp.asarray(r.tensor(b + "ssm_dt.bias")[perm], jnp.float32),
         "A_log": jnp.asarray(r.tensor(b + "ssm_a")[perm], jnp.float32),

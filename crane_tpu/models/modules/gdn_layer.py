@@ -96,21 +96,14 @@ def gdn_block(
     the recurrent state (unlike attention, where positional masking suffices).
     """
     B, S, _ = x.shape
-    if "in_proj_qkvz" in p:
-        qkvz = linear(x, p["in_proj_qkvz"])
-        ba = linear(x, p["in_proj_ba"])
-        q, k, v, z, b, a = split_qkvz_ba(gcfg, qkvz, ba)
-    else:
-        # split projections (GGUF qwen35 layout, normalized to interleaved
-        # head order at load — reference GdnInputProjection::Split)
-        qkv = linear(x, p["in_proj_qkv"])
-        kd, vd = gcfg.key_dim, gcfg.value_dim
-        q = qkv[..., :kd].reshape(B, S, gcfg.num_k_heads, gcfg.head_k_dim)
-        k = qkv[..., kd : 2 * kd].reshape(B, S, gcfg.num_k_heads, gcfg.head_k_dim)
-        v = qkv[..., 2 * kd :].reshape(B, S, gcfg.num_v_heads, gcfg.head_v_dim)
-        z = linear(x, p["in_proj_z"]).reshape(B, S, gcfg.num_v_heads, gcfg.head_v_dim)
-        b = linear(x, p["in_proj_b"])
-        a = linear(x, p["in_proj_a"])
+    # one projection layout: HF's fused k-head-major qkvz/ba columns. GGUF's
+    # split projections (reference GdnInputProjection::Split) are fused into
+    # this layout at load (loaders/gguf_model.py::_map_gguf_gdn), so every
+    # checkpoint format shares ONE compute path and the Megatron column
+    # sharding under tp.
+    qkvz = linear(x, p["in_proj_qkvz"])
+    ba = linear(x, p["in_proj_ba"])
+    q, k, v, z, b, a = split_qkvz_ba(gcfg, qkvz, ba)
 
     # Depthwise conv runs PER PART (q, k, v) with static channel slices of
     # the (small, replicated) conv weight, never concatenating the

@@ -86,7 +86,7 @@ def param_partition_specs(params: dict) -> dict:
         }
         if "post_ln" in layer:
             out["post_ln"] = P()
-        if "gdn" in layer and "in_proj_qkvz" in layer["gdn"]:
+        if "gdn" in layer:
             out["gdn"] = gdn_spec(layer["gdn"])
         if "attn" in layer:
             attn = {
