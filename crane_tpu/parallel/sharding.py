@@ -66,8 +66,8 @@ def param_partition_specs(params: dict) -> dict:
         over sharded v-heads (GSPMD inserts the psum, Megatron row
         layout). conv_w stays replicated — the depthwise conv runs per
         part with static channel slices (gdn_layer.py), and the rolling
-        conv state is a few KB. The GGUF split-projection layout
-        ([q_all|k_all|v_all] columns, not head-major) is left replicated."""
+        conv state is a few KB. GGUF split projections are fused into this
+        same layout at load, so every checkpoint format shards."""
         spec = {
             "in_proj_qkvz": P(None, "tp"),
             "in_proj_ba": P(None, "tp"),
