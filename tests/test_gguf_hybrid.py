@@ -184,3 +184,26 @@ def test_head_order_matters(ckpt, tmp_path):
 
     diff = np.abs(logits(lm_good) - logits(lm_bad)).max()
     assert diff > 1e-3, diff  # mispaired heads must change the logits
+
+
+def test_gguf_hybrid_tp_generate_matches(ckpt, tmp_path):
+    """The loader fuses GGUF's split GDN projections into the k-head-major
+    qkvz/ba layout, so a GGUF hybrid shards under tensor parallelism like a
+    safetensors one — token-identical to single-device."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    from crane_tpu.parallel.inference import shard_lm
+    from crane_tpu.parallel.sharding import make_mesh
+
+    path = _convert_to_gguf(ckpt, str(tmp_path / "tp.gguf"))
+    lm = from_gguf(path, dtype=jnp.float32)
+    assert "in_proj_qkvz" in lm.params["layers"][0]["gdn"]
+    prompt = [3, 14, 15, 92, 6]
+    expected = lm.generate(prompt, GenerationConfig.greedy(8))
+
+    slm = shard_lm(lm, make_mesh(dp=1, tp=2))
+    w = slm.params["layers"][0]["gdn"]["in_proj_qkvz"]
+    assert len(w.sharding.device_set) == 2
+    assert slm.generate(prompt, GenerationConfig.greedy(8)) == expected
