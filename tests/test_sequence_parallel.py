@@ -196,3 +196,32 @@ def test_sp_chunked_prefill_matches_single_device(lm):
         if r.token is not None:
             toks.append(r.token)
     assert toks == expected
+
+
+def test_sp_with_engine_speculative_matches(lm):
+    """--sp + --speculative compose: the slot-level verify runs its S=K+1
+    chunk through the sp continuation path and stays byte-identical."""
+    from crane_tpu.serve.engine import InferenceEngine
+    from crane_tpu.serve.sequence import EngineRequest, SamplingOptions
+
+    prompt = [5, 6, 7, 8] * 6
+    expected = lm.generate(prompt, GenerationConfig.greedy(10))
+    slm = sp_shard_lm(lm, make_sp_mesh(4))
+    engine = InferenceEngine(slm, max_slots=1, max_seq_len=64,
+                             speculative="ngram", spec_k=4)
+    q = engine.submit(EngineRequest(
+        request_id="r", prompt_ids=prompt, max_new_tokens=10,
+        sampling=SamplingOptions(do_sample=False, repetition_penalty=1.0)))
+    for _ in range(200):
+        if not engine.step() and engine.request_q.empty():
+            break
+    toks = []
+    while True:
+        r = q.get(timeout=60)
+        if r.finished:
+            assert r.error is None, r.error
+            break
+        if r.token is not None:
+            toks.append(r.token)
+    assert toks == expected
+    assert engine.stats.spec_steps > 0  # the fast path actually ran
