@@ -22,6 +22,8 @@ class AudioInfo:
 class Transcript:
     text: str
     tokens: list[int] = dataclasses.field(default_factory=list)
+    language: Optional[str] = None
+    is_final: bool = True
 
 
 class Tts(Protocol):
@@ -40,6 +42,21 @@ class Asr(Protocol):
     def transcribe(
         self, samples: np.ndarray, options: TranscribeOptions | None = None
     ) -> Transcript: ...
+
+
+class AsrBase:
+    """Default Asr behaviors (reference crane/src/audio/asr.rs:58-90):
+    ``transcribe_stream`` wraps ``transcribe`` in a single-item stream
+    (AsrStream::once) and ``supported_languages`` is empty service-discovery
+    metadata unless a model overrides it."""
+
+    def transcribe_stream(
+        self, samples: np.ndarray, options: TranscribeOptions | None = None
+    ) -> Iterator[Transcript]:
+        yield self.transcribe(samples, options)
+
+    def supported_languages(self) -> list[str]:
+        return []
 
 
 class CsmTts:
@@ -169,7 +186,16 @@ class Qwen3Tts:
                 break
 
 
-class Qwen3AsrAdapter:
+# BCP-47 codes Qwen3-ASR claims per its model card, sorted
+# (reference crane/src/audio/asr_qwen3.rs:10-13).
+QWEN3_ASR_LANGUAGES = (
+    "ar", "cs", "da", "de", "el", "en", "es", "fa", "fi", "fil", "fr", "hi",
+    "hu", "id", "it", "ja", "ko", "mk", "ms", "nl", "pl", "pt", "ro", "ru",
+    "sv", "th", "tr", "vi", "yue", "zh",
+)
+
+
+class Qwen3AsrAdapter(AsrBase):
     """Asr adapter over Qwen3-ASR (AuT encoder + Qwen3 LLM)."""
 
     def __init__(self, model):
@@ -177,6 +203,9 @@ class Qwen3AsrAdapter:
 
     def input_sample_rate(self) -> int:
         return 16000
+
+    def supported_languages(self) -> list[str]:
+        return list(QWEN3_ASR_LANGUAGES)
 
     def transcribe(
         self, samples: np.ndarray, options: TranscribeOptions | None = None
@@ -190,7 +219,7 @@ class Qwen3AsrAdapter:
         return Transcript(text=text, tokens=[])
 
 
-class MoonshineAsr:
+class MoonshineAsr(AsrBase):
     """Asr adapter over the Moonshine encoder-decoder."""
 
     def __init__(self, model):

@@ -165,3 +165,44 @@ class TestMultimodalEndpoints:
             assert r.status == 200  # this server HAS tts; covered above
 
         _run(mm_server, fn)
+
+
+class TestAsrTraitSurface:
+    """Asr trait defaults (reference crane/src/audio/asr.rs:58-90 +
+    asr_qwen3.rs:10-35): transcribe_stream wraps transcribe once,
+    supported_languages is discovery metadata."""
+
+    class _FixedAsr:
+        def input_sample_rate(self):
+            return 16000
+
+        def transcribe(self, samples, options=None):
+            return Transcript(text="hi", tokens=[1, 2])
+
+    def test_transcribe_stream_default_is_single_final_item(self):
+        from crane_tpu.sdk.audio import AsrBase
+
+        class A(AsrBase, self._FixedAsr):
+            pass
+
+        out = list(A().transcribe_stream(np.zeros(160, np.float32)))
+        assert len(out) == 1
+        assert out[0].text == "hi" and out[0].is_final
+
+    def test_supported_languages_default_empty(self):
+        from crane_tpu.sdk.audio import AsrBase
+
+        class A(AsrBase, self._FixedAsr):
+            pass
+
+        assert A().supported_languages() == []
+
+    def test_qwen3_asr_languages_sorted_nonempty_expected(self):
+        # mirrors the reference's own tests (asr_qwen3.rs:42-55)
+        from crane_tpu.sdk.audio import QWEN3_ASR_LANGUAGES, Qwen3AsrAdapter
+
+        langs = Qwen3AsrAdapter(model=None).supported_languages()
+        assert langs and langs == sorted(langs)
+        for code in ("en", "zh", "de"):
+            assert code in langs
+        assert tuple(langs) == QWEN3_ASR_LANGUAGES
