@@ -54,6 +54,16 @@ from crane_tpu.utils.buckets import bucket_length
 ROLE_PREFIX_IDS = (151644, 77091, 198)  # <|im_start|>, "assistant", "\n"
 REP_WINDOW = 128  # code-0 repetition-penalty window (static shape)
 
+# ISO 639-1 <-> the full English names codec_language_id uses as keys
+# (reference crane/src/audio/tts_qwen3.rs:16-59); unknown codes, "auto", and
+# already-full names pass through unchanged so both formats work.
+LANGUAGE_NAME_TO_CODE = {
+    "chinese": "zh", "english": "en", "german": "de", "italian": "it",
+    "portuguese": "pt", "spanish": "es", "japanese": "ja", "korean": "ko",
+    "french": "fr", "russian": "ru",
+}
+LANGUAGE_CODE_TO_NAME = {v: k for k, v in LANGUAGE_NAME_TO_CODE.items()}
+
 
 @dataclasses.dataclass
 class TalkerSpecials:
@@ -302,7 +312,7 @@ class Qwen3TTSModel:
 
     def _language_id(self, language: str, speaker: Optional[str]) -> Optional[int]:
         s = self.sp_tokens
-        lang = language.lower()
+        lang = LANGUAGE_CODE_TO_NAME.get(language.lower(), language.lower())
         lid = None if lang == "auto" else s.language_ids.get(lang)
         if speaker and lang in ("chinese", "auto"):
             d = s.spk_is_dialect.get(speaker.lower())

@@ -26,14 +26,48 @@ class Transcript:
     is_final: bool = True
 
 
+@dataclasses.dataclass(frozen=True)
+class VoiceInfo:
+    """One voice a TTS model can produce, for service discovery
+    (reference crane/src/audio/tts.rs:13-27)."""
+
+    name: str
+    languages: list[str] = dataclasses.field(default_factory=list)
+
+
 class Tts(Protocol):
     def audio_info(self) -> AudioInfo: ...
+
+    def voices(self) -> list[VoiceInfo]: ...
 
     def generate_speech(
         self, text: str, options: SpeechOptions | None = None
     ) -> np.ndarray: ...
 
     def supports_voice_cloning(self) -> bool: ...
+
+
+def kokoro_voice_language(name: str) -> str:
+    """Kokoro voice names carry a single-character language prefix
+    (reference crane/src/audio/tts_kokoro.rs:25-37); unknown -> en."""
+    first = name[:1]
+    return {
+        "a": "en", "b": "en", "e": "es", "f": "fr", "h": "hi",
+        "i": "it", "j": "ja", "k": "ko", "p": "pt", "z": "zh",
+    }.get(first, "en")
+
+
+# ISO 639-1 codes used as voice-name prefixes for Voxtral's non-English
+# presets (reference crane/src/audio/tts_voxtral.rs:12).
+VOXTRAL_LANGUAGE_PREFIXES = ("ar", "de", "es", "fr", "hi", "it", "nl", "pt")
+
+
+def voxtral_voice_languages(name: str) -> list[str]:
+    """Non-English Voxtral presets are named ``<lang>_<style>``; English
+    presets have no prefix (reference tts_voxtral.rs:23-27). A naming
+    heuristic, not config-derived."""
+    prefix = name.split("_", 1)[0]
+    return [prefix if prefix in VOXTRAL_LANGUAGE_PREFIXES else "en"]
 
 
 class Asr(Protocol):
@@ -75,6 +109,9 @@ class CsmTts:
 
     def supports_voice_cloning(self) -> bool:
         return self.model.codec is not None
+
+    def voices(self) -> list[VoiceInfo]:
+        return []  # CSM voices come from reference audio, not named presets
 
     def generate_speech(self, text: str, options: SpeechOptions | None = None) -> np.ndarray:
         options = options or SpeechOptions()
@@ -125,6 +162,23 @@ class Qwen3Tts:
 
     def supports_voice_cloning(self) -> bool:
         return self.model.speaker_encoder is not None
+
+    def voices(self) -> list[VoiceInfo]:
+        """CustomVoice checkpoints expose their named speakers; each voice
+        supports every talker language except "auto" and dialect aliases,
+        as ISO codes, sorted (reference tts_qwen3.rs:61-96)."""
+        from crane_tpu.models.qwen3_tts import LANGUAGE_NAME_TO_CODE
+
+        s = self.model.sp_tokens
+        if not s.speaker_ids:
+            return []
+        dialects = {v for v in s.spk_is_dialect.values() if isinstance(v, str)}
+        langs = sorted(
+            LANGUAGE_NAME_TO_CODE.get(n, n)
+            for n in s.language_ids
+            if n != "auto" and n not in dialects
+        )
+        return [VoiceInfo(name=n, languages=list(langs)) for n in sorted(s.speaker_ids)]
 
     def generate_speech(self, text: str, options: SpeechOptions | None = None) -> np.ndarray:
         options = options or SpeechOptions()
@@ -184,6 +238,75 @@ class Qwen3Tts:
                 emitted = len(state.codes)
             if done:
                 break
+
+
+class KokoroTts:
+    """Tts adapter over the Kokoro pipeline (reference tts_kokoro.rs)."""
+
+    def __init__(self, model):
+        self.model = model
+
+    def audio_info(self) -> AudioInfo:
+        from crane_tpu.models.kokoro_tts import SAMPLE_RATE
+
+        return AudioInfo(sample_rate=SAMPLE_RATE)
+
+    def supports_voice_cloning(self) -> bool:
+        return False
+
+    def voices(self) -> list[VoiceInfo]:
+        return [
+            VoiceInfo(name=n, languages=[kokoro_voice_language(n)])
+            for n in self.model.available_voices()
+        ]
+
+    def generate_speech(self, text: str, options: SpeechOptions | None = None) -> np.ndarray:
+        options = options or SpeechOptions()
+        wav, _sr = self.model.generate_speech(
+            text,
+            language=options.language or "en_us",
+            voice=options.voice,
+            speed=options.speed,
+        )
+        return wav
+
+    def generate_speech_stream(
+        self, text: str, options: SpeechOptions | None = None
+    ) -> Iterator[np.ndarray]:
+        yield self.generate_speech(text, options)
+
+
+class VoxtralTts:
+    """Tts adapter over Voxtral's 3-stage TTS (reference tts_voxtral.rs)."""
+
+    def __init__(self, model, *, max_frames: int = 250):
+        self.model = model
+        self.max_frames = max_frames
+
+    def audio_info(self) -> AudioInfo:
+        return AudioInfo(sample_rate=self.model.cfg.sample_rate)
+
+    def supports_voice_cloning(self) -> bool:
+        return False
+
+    def voices(self) -> list[VoiceInfo]:
+        return [
+            VoiceInfo(name=n, languages=voxtral_voice_languages(n))
+            for n in sorted(self.model.voices)
+        ]
+
+    def generate_speech(self, text: str, options: SpeechOptions | None = None) -> np.ndarray:
+        options = options or SpeechOptions()
+        wav, _sr = self.model.generate_speech(
+            text, voice=options.voice,
+            max_frames=min(self.max_frames, options.max_new_tokens),
+        )
+        return wav
+
+    def generate_speech_stream(
+        self, text: str, options: SpeechOptions | None = None
+    ) -> Iterator[np.ndarray]:
+        yield self.generate_speech(text, options)
 
 
 # BCP-47 codes Qwen3-ASR claims per its model card, sorted

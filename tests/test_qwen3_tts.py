@@ -462,3 +462,20 @@ def test_end_to_end_synthesis_with_decoder(tts_model, tiny_decoder):
     # tiny decoder expects 4 quantizers == num_code_groups
     audio = tiny_decoder.chunked_decode(codes[None], chunk_size=3, left_context=2)
     assert audio.shape == (1, codes.shape[0] * tiny_decoder.config.total_upsample)
+
+
+def test_sdk_voices_and_language_codes(tts_model):
+    """voices() discovery + ISO-code language acceptance (reference
+    tts_qwen3.rs:16-96): dialects and "auto" excluded, names -> codes,
+    and generate paths accept "en" as an alias of "english"."""
+    from crane_tpu.sdk.audio import Qwen3Tts, VoiceInfo
+
+    adapter = Qwen3Tts(tts_model)
+    voices = adapter.voices()
+    assert voices == [VoiceInfo(name="vivian", languages=["en", "sichuan dialect"])]
+
+    # ISO code aliases resolve to the same talker language id
+    assert tts_model._language_id("en", None) == tts_model._language_id("english", None)
+    assert tts_model._language_id("en", None) is not None
+    # unknown codes and "auto" pass through (auto -> no language id)
+    assert tts_model._language_id("auto", None) is None

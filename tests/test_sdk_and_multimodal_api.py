@@ -206,3 +206,51 @@ class TestAsrTraitSurface:
         for code in ("en", "zh", "de"):
             assert code in langs
         assert tuple(langs) == QWEN3_ASR_LANGUAGES
+
+
+class TestTtsVoiceDiscovery:
+    """voices() service discovery (reference crane/src/audio/tts.rs:13-27,
+    tts_kokoro.rs:25-37+97-121, tts_voxtral.rs:12-27)."""
+
+    def test_kokoro_voice_language_prefixes(self):
+        from crane_tpu.sdk.audio import kokoro_voice_language
+
+        for name, lang in [("af_heart", "en"), ("bf_emma", "en"),
+                           ("ef_dora", "es"), ("ff_siwis", "fr"),
+                           ("hf_alpha", "hi"), ("if_sara", "it"),
+                           ("jf_alpha", "ja"), ("kf_dahye", "ko"),
+                           ("pf_dora", "pt"), ("zf_xiaobei", "zh")]:
+            assert kokoro_voice_language(name) == lang
+        assert kokoro_voice_language("qf_unknown") == "en"
+        assert kokoro_voice_language("") == "en"
+
+    def test_voxtral_voice_languages(self):
+        from crane_tpu.sdk.audio import voxtral_voice_languages
+
+        assert voxtral_voice_languages("es_female") == ["es"]
+        assert voxtral_voice_languages("de_male") == ["de"]
+        assert voxtral_voice_languages("casual_male") == ["en"]
+        assert voxtral_voice_languages("neutral_female") == ["en"]
+
+    def test_kokoro_adapter_voices(self):
+        from crane_tpu.sdk.audio import KokoroTts, VoiceInfo
+
+        class FakeKokoro:
+            def available_voices(self):
+                return ["af_heart", "zf_xiaobei"]
+
+        assert KokoroTts(FakeKokoro()).voices() == [
+            VoiceInfo(name="af_heart", languages=["en"]),
+            VoiceInfo(name="zf_xiaobei", languages=["zh"]),
+        ]
+
+    def test_voxtral_adapter_voices_sorted(self):
+        from crane_tpu.sdk.audio import VoiceInfo, VoxtralTts
+
+        class FakeVoxtral:
+            voices = {"es_female": None, "casual_male": None}
+
+        assert VoxtralTts(FakeVoxtral()).voices() == [
+            VoiceInfo(name="casual_male", languages=["en"]),
+            VoiceInfo(name="es_female", languages=["es"]),
+        ]
