@@ -220,8 +220,10 @@ class Server:
                 {"error": {"message": "endpoint requires the slot engine"}},
                 status=400,
             )
-        # static slots: nothing to free while sequences are running; idle
-        # slots hold no reachable state. Parity endpoint.
+        # static slots: nothing to free while sequences are running — the
+        # flushable state is the resident prefixes idle slots keep for
+        # cross-request reuse
+        self.engine.clear_prefix_cache()
         return web.json_response({"status": "ok", "message": "cache flushed"})
 
     async def abort_request(self, request):
@@ -775,6 +777,12 @@ def main(argv=None):
     ap.add_argument("--speculative", default=None, choices=[None, "ngram"],
                     help="prompt-lookup speculative decode for lone greedy "
                     "streams (exact; batched decode resumes at 2+ streams)")
+    ap.add_argument("--no-prefix-cache", action="store_true",
+                    help="disable cross-request prefix reuse (on by default "
+                    "for full-attention models: a new prompt sharing a "
+                    "token prefix with a free slot's finished context "
+                    "prefills only the unseen suffix — exact, multi-turn "
+                    "chats skip re-prefilling the conversation)")
     ap.add_argument("--prefill-chunk", type=int, default=0,
                     help="admit prompts longer than this in chunks, with a "
                     "decode block for running sequences interleaved between "
@@ -857,6 +865,7 @@ def main(argv=None):
             preempt_after_s=args.preempt_after if args.preempt_after > 0 else None,
             prefill_chunk=args.prefill_chunk if args.prefill_chunk > 0 else None,
             speculative=args.speculative,
+            prefix_cache=not args.no_prefix_cache,
         )
     tts = asr = vlm = None
     if args.vlm_path:

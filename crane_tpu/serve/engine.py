@@ -20,6 +20,7 @@ KV-budget + preemption logic, which exists to handle dynamic growth).
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 import queue
 import threading
@@ -132,6 +133,8 @@ class InferenceEngine:
         speculative: str | None = None,
         spec_k: int = 8,
         spec_ngram: int = 3,
+        prefix_cache: bool = True,
+        prefix_reuse_min: int = 64,
     ):
         self.lm = lm
         self.max_slots = max_slots
@@ -160,6 +163,32 @@ class InferenceEngine:
         self.spec_k = spec_k
         self.spec_ngram = spec_ngram
         self._pending: Optional[dict] = None
+        # cross-request prefix reuse: a freed slot's KV rows still hold the
+        # finished sequence's context, and a multi-turn chat client resends
+        # that conversation verbatim as the next prompt's prefix — so a new
+        # request whose token ids extend (or share a prefix with) a free
+        # slot's resident tokens skips straight to the cached-continuation
+        # prefill of the unseen suffix. Exact by construction: KV at
+        # position i depends only on tokens <= i, so a token-level prefix
+        # match guarantees byte-identical logits. Gated to purely
+        # POSITIONAL caches (every layer full attention): GDN recurrent
+        # state and sliding-window rings summarize the whole past at the
+        # END of the sequence, so their rows can't be re-entered at an
+        # arbitrary earlier position.
+        cfg = getattr(lm, "config", None)
+        self.prefix_cache = (
+            bool(prefix_cache)
+            and cfg is not None
+            and getattr(cfg, "gdn", None) is None
+            and (
+                cfg.layer_types is None
+                or all(t == "full" for t in cfg.layer_types)
+            )
+        )
+        self.prefix_reuse_min = prefix_reuse_min
+        # per-slot token ids whose KV is resident in that slot's rows
+        # (recorded at finish/preemption; None once a new occupant writes)
+        self._resident: list[Optional[np.ndarray]] = [None] * max_slots
 
         _check_hbm_budget(lm, max_slots, max_seq_len, kv_quant_bits)
         self.cache = lm.init_cache(max_slots, max_seq_len, quant_bits=kv_quant_bits)
@@ -206,8 +235,8 @@ class InferenceEngine:
             tok = np.zeros((1, s), np.int32)
             _, self.cache = self.lm.prefill_slot(self.cache, tok, 0, 1)
             s *= 2
-        if self.prefill_chunk is not None:
-            b = bucket_length(self.prefill_chunk, floor=64, ceiling=self.max_seq_len)
+        if self.prefill_chunk is not None or self.prefix_cache:
+            b = bucket_length(self.prefill_chunk or 64, floor=64, ceiling=self.max_seq_len)
             tok = np.zeros((1, b), np.int32)
             _, self.cache = self.lm.prefill_slot_continue(self.cache, tok, 0, 1, 1)
         for n in sorted({1, self.decode_tokens_per_seq}):
@@ -361,6 +390,13 @@ class InferenceEngine:
         )
         if victim is None:
             return False
+        if self.prefix_cache and victim.generated:
+            # the victim's context stays resident: if its old slot is still
+            # free at re-admission, reconstruction prefills ONE suffix
+            # token instead of the whole prompt+generated context
+            self._resident[victim.slot] = np.asarray(
+                list(victim.request.prompt_ids) + victim.generated[:-1], np.int32
+            )
         self.active[victim.slot] = False
         self.slots[victim.slot] = None
         victim.slot = -1
@@ -386,6 +422,43 @@ class InferenceEngine:
                 return i
         raise RuntimeError("no free slot (scheduler bug)")
 
+    def _choose_slot(self, ctx) -> tuple[int, int]:
+        """Pick a free slot for ``ctx``; returns (slot, reuse_len).
+
+        With prefix caching, the free slot whose resident tokens share the
+        longest common prefix with ``ctx`` wins when that prefix clears
+        ``prefix_reuse_min`` — its rows already hold the prefix's KV, so
+        admission prefills only ``ctx[reuse_len:]``. Otherwise fresh
+        admissions prefer slots with NO resident prefix, so reusable
+        contexts survive as long as possible."""
+        free = [i for i, s in enumerate(self.slots) if s is None]
+        best, best_lcp = None, 0
+        if self.prefix_cache:
+            arr = np.asarray(ctx, np.int32)
+            for i in free:
+                r = self._resident[i]
+                if r is None:
+                    continue
+                n = min(len(r), len(arr))
+                neq = np.nonzero(r[:n] != arr[:n])[0]
+                lcp = int(neq[0]) if neq.size else n
+                if lcp > best_lcp:
+                    best, best_lcp = i, lcp
+        # at least one suffix token must run to produce admission logits
+        best_lcp = min(best_lcp, len(ctx) - 1)
+        if best is not None and best_lcp >= self.prefix_reuse_min:
+            return best, best_lcp
+        for i in free:
+            if self._resident[i] is None:
+                return i, 0
+        return free[0], 0
+
+    def clear_prefix_cache(self):
+        """Forget all resident prefixes (the /flush_cache endpoint).
+        Advisory: an admission racing this call may still reuse a row it
+        already matched — the data it reuses is still valid KV."""
+        self._resident = [None] * self.max_slots
+
     def _admit(self, seq: Sequence):
         req = seq.request
         # context = prompt for a fresh sequence; prompt + generated-so-far
@@ -407,30 +480,50 @@ class InferenceEngine:
         budget = self.max_seq_len - ctx_len - 1
         req.max_new_tokens = min(req.max_new_tokens, len(seq.generated) + budget)
 
-        slot = self._free_slot()
+        slot, reuse = self._choose_slot(ctx)
         seq.slot = slot
+        self._resident[slot] = None  # the new occupant overwrites the row
+        if reuse:
+            self.stats.prefix_hits += 1
+            self.stats.prefix_tokens_reused += reuse
+            # reset the row's live length to the reused prefix so the
+            # continuation kernels' live-length clamp never reads the
+            # finished sequence's tail beyond it
+            self.cache = dataclasses.replace(
+                self.cache, lengths=self.cache.lengths.at[slot].set(reuse)
+            )
 
-        if self.prefill_chunk is not None and ctx_len > self.prefill_chunk:
+        if self.prefill_chunk is not None and ctx_len - reuse > self.prefill_chunk:
             # chunked admission: reserve the slot (inactive), promote so the
             # scheduler's capacity accounting sees it, then feed chunks one
-            # step at a time from the engine loop
+            # step at a time from the engine loop (a reused prefix simply
+            # starts the chunk offset past the resident tokens)
             self.slots[slot] = seq
             self.scheduler.promote(seq)
             self._pending = {
-                "seq": seq, "ctx": np.asarray(ctx, np.int32), "offset": 0,
+                "seq": seq, "ctx": np.asarray(ctx, np.int32), "offset": reuse,
                 "spent": 0.0,
             }
             self._admit_chunk()
             return
 
         t0 = time.perf_counter()
-        s_bucket = bucket_length(ctx_len, floor=64, ceiling=self.max_seq_len)
-        padded = np.zeros((1, s_bucket), np.int32)
-        padded[0, :ctx_len] = ctx
-
-        logits, self.cache = self.lm.prefill_slot(
-            self.cache, padded, slot, ctx_len
+        n_new = ctx_len - reuse
+        s_bucket = min(
+            bucket_length(n_new, floor=64, ceiling=self.max_seq_len),
+            self.max_seq_len - reuse,
         )
+        padded = np.zeros((1, s_bucket), np.int32)
+        padded[0, :n_new] = ctx[reuse:]
+
+        if reuse:
+            logits, self.cache = self.lm.prefill_slot_continue(
+                self.cache, padded, slot, reuse, n_new
+            )
+        else:
+            logits, self.cache = self.lm.prefill_slot(
+                self.cache, padded, slot, n_new
+            )
         self.slots[slot] = seq
         self.scheduler.promote(seq)
         self.stats.prefill_time_s += time.perf_counter() - t0
@@ -538,6 +631,14 @@ class InferenceEngine:
 
     def _finish(self, seq: Sequence, reason: FinishReason):
         if seq.slot >= 0 and self.slots[seq.slot] is seq:
+            if self.prefix_cache and self.active[seq.slot] and seq.generated:
+                # every token except the last sampled one was fed back, so
+                # its KV is resident; junk a decode block wrote past EOS
+                # lies beyond this prefix and is cut off by the length
+                # reset at reuse time
+                self._resident[seq.slot] = np.asarray(
+                    list(seq.request.prompt_ids) + seq.generated[:-1], np.int32
+                )
             self.active[seq.slot] = False
             self.slots[seq.slot] = None
         self.scheduler.finish(seq)

@@ -23,6 +23,8 @@ class EngineStats:
         self.engine_steps = 0
         self.spec_steps = 0       # speculative verify forwards run
         self.spec_tokens = 0      # tokens emitted by speculative steps
+        self.prefix_hits = 0          # admissions that reused a resident prefix
+        self.prefix_tokens_reused = 0  # prompt tokens NOT re-prefilled
 
     def snapshot(self, *, running: int = 0, waiting: int = 0) -> dict:
         uptime = time.monotonic() - self.started_at
@@ -38,6 +40,8 @@ class EngineStats:
             "engine_steps": self.engine_steps,
             "spec_steps": self.spec_steps,
             "spec_tokens": self.spec_tokens,
+            "prefix_hits": self.prefix_hits,
+            "prefix_tokens_reused": self.prefix_tokens_reused,
             "running": running,
             "waiting": waiting,
             "prefill_tok_s": round(

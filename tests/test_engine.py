@@ -556,3 +556,133 @@ class TestSpeculativeEngine:
         [exp] = self._collect(plain, [greedy_request("a", prompt, n=10)])
         [got] = self._collect(spec, [greedy_request("b", prompt, n=10)])
         assert got == exp
+
+
+class TestPrefixReuse:
+    """Cross-request prefix reuse: a freed slot's resident KV serves any new
+    prompt that shares its token prefix (multi-turn chats resend the
+    conversation verbatim), so admission prefills only the unseen suffix.
+    Exact by construction — KV at position i depends only on tokens <= i."""
+
+    def _engine(self, lm, **kw):
+        kw.setdefault("max_slots", 2)
+        kw.setdefault("max_seq_len", 128)
+        kw.setdefault("decode_tokens_per_seq", 2)
+        kw.setdefault("prefix_reuse_min", 4)
+        return InferenceEngine(lm, **kw)
+
+    def _round(self, engine, rid, prompt, n):
+        q = engine.submit(greedy_request(rid, prompt, n=n))
+        run_until_idle(engine)
+        toks, _ = collect(q)
+        return toks
+
+    def test_multiturn_reuse_is_token_identical(self, lm):
+        engine = self._engine(lm)
+        prompt = [3, 14, 15, 92, 6, 5, 35, 89]
+        t1 = self._round(engine, "turn1", prompt, 6)
+        # turn 2: client resends conversation + a new user turn
+        prompt2 = prompt + t1 + [7, 9, 2]
+        t2 = self._round(engine, "turn2", prompt2, 6)
+        assert engine.stats.prefix_hits == 1
+        # everything resident was reused: prompt + all but the final
+        # generated token (whose KV was never written)
+        assert engine.stats.prefix_tokens_reused == len(prompt) + len(t1) - 1
+        assert t2 == lm.generate(prompt2, GenerationConfig.greedy(6))
+
+    def test_partial_prefix_reuse(self, lm):
+        engine = self._engine(lm)
+        base = [3, 14, 15, 92, 6, 5, 35, 89]
+        self._round(engine, "a", base, 4)
+        # diverges after 6 shared tokens -> partial reuse of the prompt
+        prompt2 = base[:6] + [70, 71, 72, 73]
+        t2 = self._round(engine, "b", prompt2, 5)
+        assert engine.stats.prefix_hits == 1
+        assert engine.stats.prefix_tokens_reused == 6
+        assert t2 == lm.generate(prompt2, GenerationConfig.greedy(5))
+
+    def test_reuse_below_threshold_prefills_fresh(self, lm):
+        engine = self._engine(lm, prefix_reuse_min=64)
+        prompt = [3, 14, 15, 92, 6]
+        t1 = self._round(engine, "a", prompt, 4)
+        t2 = self._round(engine, "b", prompt + t1, 4)
+        assert engine.stats.prefix_hits == 0
+        assert t2 == lm.generate(prompt + t1, GenerationConfig.greedy(4))
+
+    def test_reuse_composes_with_chunked_prefill(self, lm):
+        engine = self._engine(lm, prefill_chunk=4)
+        prompt = [3, 14, 15, 92, 6, 5, 35, 89, 44, 12]
+        t1 = self._round(engine, "a", prompt, 4)
+        prompt2 = prompt + t1 + [7, 9, 2, 11, 13, 17, 19, 23, 29]
+        t2 = self._round(engine, "b", prompt2, 5)
+        assert engine.stats.prefix_hits == 1
+        assert t2 == lm.generate(prompt2, GenerationConfig.greedy(5))
+
+    def test_reuse_composes_with_quantized_kv(self, lm):
+        engine = self._engine(lm, kv_quant_bits=8)
+        prompt = [3, 14, 15, 92, 6, 5, 35, 89]
+        t1 = self._round(engine, "a", prompt, 5)
+        prompt2 = prompt + t1 + [7, 9]
+        t2 = self._round(engine, "b", prompt2, 5)
+        assert engine.stats.prefix_hits == 1
+        # quant cache: compare against the same engine path without reuse
+        engine2 = self._engine(lm, kv_quant_bits=8, prefix_cache=False)
+        t2_fresh = self._round(engine2, "b", prompt2, 5)
+        assert t2 == t2_fresh
+
+    def test_exact_resend_still_produces_logits(self, lm):
+        # identical conversation resent: at least one suffix token must run
+        engine = self._engine(lm)
+        prompt = [3, 14, 15, 92, 6, 5, 35, 89]
+        t1 = self._round(engine, "a", prompt, 4)
+        resend = prompt + t1[:-1]  # exactly the resident tokens
+        t2 = self._round(engine, "b", resend, 4)
+        assert engine.stats.prefix_hits == 1
+        assert engine.stats.prefix_tokens_reused == len(resend) - 1
+        assert t2 == lm.generate(resend, GenerationConfig.greedy(4))
+
+    def test_fresh_admission_prefers_nonresident_slot(self, lm):
+        engine = self._engine(lm, max_slots=3)
+        prompt = [3, 14, 15, 92, 6]
+        self._round(engine, "a", prompt, 4)  # slot 0 now holds a resident
+        # an unrelated prompt should land on a slot WITHOUT resident data
+        q = engine.submit(greedy_request("b", [80, 81, 82], n=2))
+        engine.step()
+        assert engine.slots[0] is None  # resident slot left untouched
+        run_until_idle(engine)
+        collect(q)
+        assert engine.stats.prefix_hits == 0
+
+    def test_clear_prefix_cache(self, lm):
+        engine = self._engine(lm)
+        prompt = [3, 14, 15, 92, 6, 5, 35, 89]
+        t1 = self._round(engine, "a", prompt, 4)
+        engine.clear_prefix_cache()
+        t2 = self._round(engine, "b", prompt + t1, 4)
+        assert engine.stats.prefix_hits == 0
+        assert t2 == lm.generate(prompt + t1, GenerationConfig.greedy(4))
+
+    def test_hybrid_layer_types_disable_prefix_cache(self):
+        import dataclasses as dc
+
+        from crane_tpu.models.init import init_params
+
+        cfg = dc.replace(
+            QWEN3_TINY,
+            layer_types=("full", "sliding") * (QWEN3_TINY.num_layers // 2),
+            sliding_window=16,
+        )
+        params = init_params(cfg, seed=0, dtype=jnp.float32)
+        hybrid = CausalLM(cfg, params, dtype=jnp.float32)
+        engine = InferenceEngine(hybrid, max_slots=2, max_seq_len=64,
+                                 prefix_cache=True, prefix_reuse_min=4)
+        assert engine.prefix_cache is False
+        prompt = [3, 14, 15, 92, 6, 5, 35, 89]
+        q = engine.submit(greedy_request("a", prompt, n=4))
+        run_until_idle(engine)
+        t1, _ = collect(q)
+        q2 = engine.submit(greedy_request("b", prompt + t1, n=4))
+        run_until_idle(engine)
+        t2, _ = collect(q2)
+        assert engine.stats.prefix_hits == 0
+        assert t2 == hybrid.generate(prompt + t1, GenerationConfig.greedy(4))
