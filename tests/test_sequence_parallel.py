@@ -225,3 +225,40 @@ def test_sp_with_engine_speculative_matches(lm):
             toks.append(r.token)
     assert toks == expected
     assert engine.stats.spec_steps > 0  # the fast path actually ran
+
+
+def test_sp_prefix_reuse_matches_single_device(lm):
+    """Cross-request prefix reuse composes with sequence parallelism: the
+    reused resident rows are sequence-sharded, and the suffix admits through
+    the sp continuation path — token-identical to single-device."""
+    from crane_tpu.serve.engine import InferenceEngine
+    from crane_tpu.serve.sequence import EngineRequest, SamplingOptions
+
+    def run(engine, rid, prompt, n):
+        q = engine.submit(EngineRequest(
+            request_id=rid, prompt_ids=prompt, max_new_tokens=n,
+            sampling=SamplingOptions(do_sample=False, repetition_penalty=1.0),
+        ))
+        for _ in range(300):
+            if not engine.step() and engine.request_q.empty():
+                break
+        toks = []
+        while True:
+            r = q.get(timeout=60)
+            if r.finished:
+                assert r.error is None, r.error
+                break
+            if r.token is not None:
+                toks.append(r.token)
+        return toks
+
+    slm = sp_shard_lm(lm, make_sp_mesh(4))
+    engine = InferenceEngine(slm, max_slots=2, max_seq_len=64,
+                             decode_tokens_per_seq=2, prefix_reuse_min=4)
+    assert engine.prefix_cache  # the sp wrapper exposes a positional config
+    prompt = [3, 14, 15, 92, 6, 5, 35, 89]
+    t1 = run(engine, "turn1", prompt, 6)
+    prompt2 = prompt + t1 + [7, 9, 2]
+    t2 = run(engine, "turn2", prompt2, 6)
+    assert engine.stats.prefix_hits == 1
+    assert t2 == lm.generate(prompt2, GenerationConfig.greedy(6))
