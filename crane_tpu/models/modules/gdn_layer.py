@@ -84,12 +84,17 @@ def gdn_block(
     active: jax.Array | None = None,
     backend: str | None = None,
     true_lengths: jax.Array | None = None,
+    continuation: bool = False,
 ):
     """x ``[B, S, E]`` -> (out ``[B, S, E]``, new GdnLayerCache).
 
     ``decode=True``: S must be 1, uses the rolling conv state + one-step
     recurrence. Otherwise: fresh prefill from position 0 (zero initial
-    state — slot prefill always restarts, matching the engine contract).
+    state — slot prefill always restarts, matching the engine contract) —
+    unless ``continuation=True``, which re-enters the cached recurrent state
+    and conv window (chunked/continuation prefill: chunk N continues exactly
+    where chunk N-1 left off, so chunked ≡ whole prefill; requires the cache
+    rows to line up with the batch, i.e. ``cache_row is None``).
     ``true_lengths [B]`` masks bucket-padded tail steps out of the cumulative
     state: padded steps get beta=0, g=0 (identity update) and the conv state
     window ends at the true length — without this, pad tokens would corrupt

@@ -257,6 +257,7 @@ def causal_conv1d(
     *,
     activation: bool = True,
     true_lengths: jax.Array | None = None,
+    init_window: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Depthwise causal conv over time: x ``[B, S, C]``, w ``[C, k]``
     (w[:, 0] = oldest tap). Returns (y ``[B, S, C]``, conv_state ``[B, k, C]``
@@ -265,10 +266,18 @@ def causal_conv1d(
 
     ``true_lengths [B]`` handles bucket-padded prefill: the saved state is the
     window ending at each row's true length, not at the padded tail.
+
+    ``init_window [B, k, C]``: a previously saved conv_state whose last k-1
+    inputs form the left context (continuation prefill — the reference rolls
+    this window across decode steps, backend.rs:242-326; here a chunk re-enters
+    it instead of zero-padding, so chunked prefill matches whole prefill).
     """
     B, S, C = x.shape
     ksz = w.shape[-1]
-    xp = jnp.pad(x, ((0, 0), (ksz - 1, 0), (0, 0)))
+    if init_window is None:
+        xp = jnp.pad(x, ((0, 0), (ksz - 1, 0), (0, 0)))
+    else:
+        xp = jnp.concatenate([init_window[:, 1:, :].astype(x.dtype), x], axis=1)
     y = jnp.zeros((B, S, C), jnp.float32)
     for j in range(ksz):
         y = y + xp[:, j : j + S, :].astype(jnp.float32) * w[:, j].astype(jnp.float32)
