@@ -330,10 +330,13 @@ class CausalLM:
         gen = gen or GenerationConfig()
         eos = set(gen.eos_token_ids) | set(self.eos_token_ids)
         # speculative decoding is exact only for greedy, penalty-free configs
+        # on purely positional caches (recurrent state can't roll back past
+        # rejected drafts)
         use_spec = (
             gen.speculative == "ngram"
             and not gen.do_sample
             and gen.repetition_penalty == 1.0
+            and not self.config.has_recurrent_layers
         )
         prompt_len = len(input_ids)
         total = prompt_len + gen.max_new_tokens + (gen.spec_k + 1 if use_spec else 0)

@@ -100,6 +100,8 @@ def gdn_block(
     window ends at the true length — without this, pad tokens would corrupt
     the recurrent state (unlike attention, where positional masking suffices).
     """
+    if continuation and (decode or cache_row is not None):
+        raise ValueError("continuation excludes decode/cache_row (documented contract)")
     B, S, _ = x.shape
     # one projection layout: HF's fused k-head-major qkvz/ba columns. GGUF's
     # split projections (reference GdnInputProjection::Split) are fused into
@@ -133,9 +135,16 @@ def gdn_block(
         yv, sv = causal_conv1d_update(vf[:, 0], cs[..., 2 * kd :], wv)
         qc, kc, vc = yq[:, None], yk[:, None], yv[:, None]
     else:
-        qc, sq = causal_conv1d(qf, wq, true_lengths=true_lengths)
-        kc, sk = causal_conv1d(kf, wk, true_lengths=true_lengths)
-        vc, sv = causal_conv1d(vf, wv, true_lengths=true_lengths)
+        # continuation re-enters the saved rolling window per part; fresh
+        # prefill left-pads with zeros (zero state == zero window, so a
+        # continuation over a zeroed cache is identical to fresh prefill)
+        cs = layer_cache.conv_state if continuation else None
+        iwq = cs[..., :kd] if continuation else None
+        iwk = cs[..., kd : 2 * kd] if continuation else None
+        iwv = cs[..., 2 * kd :] if continuation else None
+        qc, sq = causal_conv1d(qf, wq, true_lengths=true_lengths, init_window=iwq)
+        kc, sk = causal_conv1d(kf, wk, true_lengths=true_lengths, init_window=iwk)
+        vc, sv = causal_conv1d(vf, wv, true_lengths=true_lengths, init_window=iwv)
     new_conv = jnp.concatenate([sq, sk, sv], axis=-1)
 
     qc = qc.reshape(B, S, gcfg.num_k_heads, gcfg.head_k_dim)
@@ -160,7 +169,10 @@ def gdn_block(
         )
         y = y[:, None]
     else:
-        y, new_state = gdn_recurrence(qc, kc, vc, gdecay, beta, backend=backend)
+        init = layer_cache.recurrent_state if continuation else None
+        y, new_state = gdn_recurrence(
+            qc, kc, vc, gdecay, beta, init, backend=backend
+        )
 
     new_cache = layer_cache.replace_rows(new_conv, new_state, row=cache_row, active=active)
 

@@ -115,6 +115,17 @@ class TransformerConfig:
             i for i in range(self.num_layers) if self.layer_type(i) != "gdn"
         )
 
+    @property
+    def has_recurrent_layers(self) -> bool:
+        """True for hybrid models carrying rolling state (GDN / short-conv).
+        Speculative verify needs cache rollback on draft rejection, which a
+        positional KV buffer gives for free (rejected entries sit beyond the
+        valid length) but a recurrent state cannot — so speculative decoding
+        is gated off for these models."""
+        return self.layer_types is not None and any(
+            t in ("gdn", "conv") for t in self.layer_types
+        )
+
 
 def make_cache(
     cfg: TransformerConfig,
@@ -594,10 +605,12 @@ def short_conv_block(
     cache_row=None,
     active: jax.Array | None = None,
     true_lengths: jax.Array | None = None,
+    continuation: bool = False,
 ):
     """LFM2 short-conv mixer: in_proj -> (B, C, x) -> depthwise causal conv
     of B*x (no activation) -> C * conv_out -> out_proj, with a rolling
-    L-window state for decode (HF Lfm2ShortConv semantics)."""
+    L-window state for decode (HF Lfm2ShortConv semantics). ``continuation``
+    re-enters the saved conv window (chunked prefill == whole prefill)."""
     from crane_tpu.ops.gdn import causal_conv1d, causal_conv1d_update
 
     bcx = linear(x, p["in_proj"], p.get("in_bias"))
@@ -610,7 +623,8 @@ def short_conv_block(
         conv_out = y[:, None]
     else:
         conv_out, new_state = causal_conv1d(
-            bx, p["conv_w"], activation=False, true_lengths=true_lengths
+            bx, p["conv_w"], activation=False, true_lengths=true_lengths,
+            init_window=layer_cache.conv_state if continuation else None,
         )
     if "conv_b" in p:
         conv_out = conv_out + p["conv_b"]
@@ -639,22 +653,30 @@ def decoder_layer(
     ltype = cfg.layer_type(layer_idx)
     h = rms_norm(x, p["input_ln"], eps=cfg.rms_norm_eps, weight_offset=cfg.norm_weight_offset)
     if ltype == "gdn":
-        # decode iff S == 1 while reading cached state; slot prefill and
-        # generate-prefill always restart from position 0 with zero state
+        # symmetric with attention semantics: S == 1 while reading cached
+        # state is decode; S > 1 while reading cached state is a
+        # continuation chunk (re-enters the saved conv window + recurrent
+        # state, so chunked prefill == whole prefill); read_cache=False is
+        # a fresh slot/generate prefill restarting from zero state. Over a
+        # zeroed cache, continuation == fresh prefill (zero init state).
         decode = read_cache and x.shape[1] == 1
+        continuation = read_cache and x.shape[1] > 1 and cache_row is None
         attn_out, new_cache = gdn_block(
             cfg.gdn, p["gdn"], h, layer_cache,
             eps=cfg.rms_norm_eps, decode=decode, cache_row=cache_row,
             active=active if decode else None,
             true_lengths=true_lengths if not decode else None,
+            continuation=continuation,
         )
     elif ltype == "conv":
         decode = read_cache and x.shape[1] == 1
+        continuation = read_cache and x.shape[1] > 1 and cache_row is None
         attn_out, new_cache = short_conv_block(
             cfg, p["conv"], h, layer_cache,
             decode=decode, cache_row=cache_row,
             active=active if decode else None,
             true_lengths=true_lengths if not decode else None,
+            continuation=continuation,
         )
     else:
         window = cfg.sliding_window if ltype == "sliding" else None

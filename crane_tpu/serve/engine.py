@@ -97,12 +97,21 @@ def _check_hbm_budget(lm, max_slots: int, max_seq_len: int, kv_quant_bits):
         lambda: lm.init_cache(max_slots, max_seq_len, quant_bits=kv_quant_bits)
     )
     kv = _tree_bytes(cache_shapes)
-    need = int((weights + kv) * 1.15)
     mesh = getattr(lm, "mesh", None)
     if mesh is not None and mesh.size > 1:
-        # tensor-parallel serving: weights and KV shard over the mesh, so
-        # per-chip residency is ~global/size (replicated norms are noise)
-        need = need // mesh.size
+        if getattr(lm.config, "sequence_axis", None) is not None:
+            # sequence-parallel serving: only the KV sequence axis shards;
+            # weights REPLICATE on every chip (parallel/sequence.py:225-227).
+            # Per-chip residency = full weights + kv/size — dividing weights
+            # too would pass long-context configs that OOM on real chips.
+            need = int((weights + kv // mesh.size) * 1.15)
+        else:
+            # tensor-parallel serving: weights and KV shard over the mesh,
+            # so per-chip residency is ~global/size (replicated norms are
+            # noise)
+            need = int((weights + kv) * 1.15) // mesh.size
+    else:
+        need = int((weights + kv) * 1.15)
     if need > limit:
         gib = 1024 ** 3
         fp_bits = 8 * jnp.dtype(lm.dtype).itemsize
@@ -245,7 +254,9 @@ class InferenceEngine:
                 self._key, self.active, n,
             )
             out.block_until_ready()
-        if self.speculative:
+        cfg = getattr(self.lm, "config", None)
+        spec_ok = not (cfg is not None and getattr(cfg, "has_recurrent_layers", False))
+        if self.speculative and spec_ok:
             toks = np.zeros((1, self.spec_k + 1), np.int32)
             model_tok, _, self.cache = self.lm.verify_slot(self.cache, toks, 0)
             model_tok.block_until_ready()
@@ -670,8 +681,13 @@ class InferenceEngine:
         """The single running sequence eligible for speculative decode, or
         None. Exact only for greedy penalty-free sampling; requires spec_k+1
         slots of cache headroom (the verify chunk must not clamp at the
-        buffer end)."""
+        buffer end). Recurrent-state models (GDN / short-conv hybrids) are
+        ineligible: rejected drafts can't be rolled back out of a rolling
+        state the way positional KV entries are simply masked."""
         if self.speculative != "ngram":
+            return None
+        cfg = getattr(self.lm, "config", None)
+        if cfg is not None and getattr(cfg, "has_recurrent_layers", False):
             return None
         running = [s for s in self.slots if s is not None]
         if len(running) != 1 or not self.active[running[0].slot]:

@@ -5,6 +5,7 @@ batch-vs-single consistency, SURVEY.md §4) on a tiny random model."""
 
 import queue
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -244,6 +245,38 @@ def test_hbm_budget_check_rejects_oversized_config(lm):
     os.environ["CRANE_HBM_BYTES"] = str(64 * 1024 ** 3)
     try:
         InferenceEngine(lm, max_slots=4, max_seq_len=512)
+    finally:
+        del os.environ["CRANE_HBM_BYTES"]
+
+
+def test_hbm_budget_sp_counts_replicated_weights(lm):
+    """Under a sequence mesh only the KV sequence axis shards; weights
+    REPLICATE per chip (parallel/sequence.py) — the budget check must count
+    full weights + kv/n, not (weights+kv)/n (VERDICT r3 weak #3)."""
+    import os
+
+    import pytest
+
+    from crane_tpu.parallel.sequence import make_sp_mesh, sp_shard_lm
+    from crane_tpu.serve.engine import InferenceEngine, _tree_bytes
+
+    slm = sp_shard_lm(lm, make_sp_mesh(4))
+    weights = _tree_bytes(slm.params)
+    kv = _tree_bytes(
+        jax.eval_shape(lambda: slm.init_cache(4, 512, quant_bits=None))
+    )
+    per_chip = int((weights + kv // 4) * 1.15)
+    wrong = int((weights + kv) * 1.15) // 4  # the old accounting
+    assert wrong < per_chip  # the configs this distinction matters for
+    os.environ["CRANE_HBM_BYTES"] = str((wrong + per_chip) // 2)
+    try:
+        with pytest.raises(RuntimeError, match="HBM budget exceeded"):
+            InferenceEngine(slm, max_slots=4, max_seq_len=512)
+    finally:
+        del os.environ["CRANE_HBM_BYTES"]
+    os.environ["CRANE_HBM_BYTES"] = str(per_chip + 1024)
+    try:
+        InferenceEngine(slm, max_slots=4, max_seq_len=512)
     finally:
         del os.environ["CRANE_HBM_BYTES"]
 
@@ -556,6 +589,28 @@ class TestSpeculativeEngine:
         [exp] = self._collect(plain, [greedy_request("a", prompt, n=10)])
         [got] = self._collect(spec, [greedy_request("b", prompt, n=10)])
         assert got == exp
+
+    def test_recurrent_models_never_speculate(self):
+        """GDN/conv hybrids can't roll a recurrent state back past rejected
+        drafts — the engine must take the batched path, byte-identical."""
+        torch = pytest.importorskip("torch")  # noqa: F841
+        pytest.importorskip("transformers")
+        import pathlib
+        import tempfile
+
+        from tests.test_qwen3_next_parity import _save_tiny_next
+        from crane_tpu.models.auto import from_pretrained
+
+        d = pathlib.Path(tempfile.mkdtemp())
+        _, ckpt = _save_tiny_next(d)
+        hlm = from_pretrained(ckpt, dtype=jnp.float32)
+        prompt = [5, 6, 7, 8] * 6
+        exp = hlm.generate(prompt, GenerationConfig.greedy(8))
+        spec = InferenceEngine(hlm, max_slots=2, max_seq_len=128,
+                               speculative="ngram")
+        [got] = self._collect(spec, [greedy_request("h", prompt, n=8)])
+        assert got == exp
+        assert spec.stats.spec_steps == 0
 
 
 class TestPrefixReuse:

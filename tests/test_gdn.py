@@ -211,3 +211,129 @@ class TestCausalConv:
         assert state.shape == (B, ksz, C)
         np.testing.assert_allclose(np.asarray(state[:, :2]), 0.0)
         np.testing.assert_allclose(np.asarray(state[:, 2:]), np.asarray(x), rtol=1e-6)
+
+
+class TestContinuationPrefill:
+    """Chunked/continuation prefill re-enters saved state (ADVICE r3):
+    chunk N's conv window + recurrent state continue chunk N-1 exactly, so
+    chunked prefill is numerically identical to whole prefill."""
+
+    def test_conv1d_chunked_matches_whole(self):
+        B, S, C, ksz = 2, 13, 5, 4
+        x = rng(B, S, C, seed=20)
+        w = rng(C, ksz, seed=21)
+        y_full, state_full = causal_conv1d(x, w)
+        outs, state = [], None
+        for lo, hi in ((0, 5), (5, 8), (8, 13)):  # includes an S < k chunk
+            y, state = causal_conv1d(
+                x[:, lo:hi], w, init_window=state
+            )
+            outs.append(y)
+        got = jnp.concatenate(outs, axis=1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(y_full), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(state), np.asarray(state_full), rtol=1e-5, atol=1e-6)
+
+    def test_conv1d_chunked_with_true_lengths(self):
+        """Final chunk bucket-padded per row: saved window ends at each
+        row's true length, continuing the left context."""
+        B, C, ksz = 2, 4, 4
+        x = rng(B, 11, C, seed=22)
+        w = rng(C, ksz, seed=23)
+        lens = jnp.asarray([3, 5], jnp.int32)  # valid tokens in the 2nd chunk
+        _, st_whole_r0 = causal_conv1d(x[:, : 6 + 3], w)
+        _, st_whole_r1 = causal_conv1d(x[:, : 6 + 5], w)
+        _, state1 = causal_conv1d(x[:, :6], w)
+        y2, state2 = causal_conv1d(
+            x[:, 6:], w, init_window=state1, true_lengths=lens
+        )
+        np.testing.assert_allclose(
+            np.asarray(state2[0]), np.asarray(st_whole_r0[0]), rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(state2[1]), np.asarray(st_whole_r1[1]), rtol=1e-5, atol=1e-6
+        )
+
+    def _gdn_setup(self, seed=30):
+        from crane_tpu.models.modules.gdn_layer import GdnConfig, gdn_block
+        from crane_tpu.ops.kv_cache import GdnLayerCache
+
+        g = GdnConfig(num_v_heads=4, num_k_heads=2, head_k_dim=8, head_v_dim=8)
+        E = 32
+        r = np.random.default_rng(seed)
+        mk = lambda *s: jnp.asarray(r.standard_normal(s) * 0.2, jnp.float32)
+        qkvz_out = g.num_k_heads * (2 * g.head_k_dim + 2 * g.v_per_group * g.head_v_dim)
+        p = {
+            "in_proj_qkvz": mk(E, qkvz_out),
+            "in_proj_ba": mk(E, g.num_k_heads * 2 * g.v_per_group),
+            "conv_w": mk(g.conv_dim, g.conv_kernel),
+            "A_log": mk(g.num_v_heads),
+            "dt_bias": mk(g.num_v_heads),
+            "norm": jnp.ones((g.head_v_dim,), jnp.float32),
+            "out_proj": mk(g.value_dim, E),
+        }
+        return g, p, E, gdn_block, GdnLayerCache
+
+    def test_gdn_block_chunked_matches_whole(self):
+        g, p, E, gdn_block, GdnLayerCache = self._gdn_setup()
+        B, S = 1, 12
+        x = rng(B, S, E, seed=31)
+        cache0 = GdnLayerCache.empty(B, g.conv_kernel, g.conv_dim, g.num_v_heads,
+                                     g.head_k_dim, g.head_v_dim, jnp.float32)
+        y_full, c_full = gdn_block(g, p, x, cache0)
+        c = cache0
+        outs = []
+        for lo, hi in ((0, 5), (5, 8), (8, 12)):
+            y, c = gdn_block(g, p, x[:, lo:hi], c, continuation=lo > 0)
+            outs.append(y)
+        got = jnp.concatenate(outs, axis=1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(y_full), rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(c.recurrent_state), np.asarray(c_full.recurrent_state),
+            rtol=2e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(c.conv_state), np.asarray(c_full.conv_state), rtol=1e-5, atol=1e-6
+        )
+
+    def test_gdn_block_continuation_contract_errors(self):
+        g, p, E, gdn_block, GdnLayerCache = self._gdn_setup()
+        cache = GdnLayerCache.empty(1, g.conv_kernel, g.conv_dim, g.num_v_heads,
+                                    g.head_k_dim, g.head_v_dim, jnp.float32)
+        x = rng(1, 1, E, seed=32)
+        with pytest.raises(ValueError):
+            gdn_block(g, p, x, cache, decode=True, continuation=True)
+        with pytest.raises(ValueError):
+            gdn_block(g, p, rng(1, 4, E, seed=33), cache, cache_row=0, continuation=True)
+
+    def test_hybrid_model_chunked_prefill_logits_match(self):
+        """Model-level: prefill_slot(whole) == prefill_slot + slot_continue
+        chunks, asserted on LOGITS (greedy tokens can hide a wrong state)."""
+        torch = pytest.importorskip("torch")  # noqa: F841
+        pytest.importorskip("transformers")
+        import pathlib
+        import tempfile
+
+        from tests.test_qwen3_next_parity import _save_tiny_next
+        from crane_tpu.models.auto import from_pretrained
+
+        d = pathlib.Path(tempfile.mkdtemp())
+        _, ckpt = _save_tiny_next(d)
+        lm = from_pretrained(ckpt, dtype=jnp.float32)
+        toks = np.asarray(
+            np.random.default_rng(40).integers(1, 150, 24), np.int32
+        )
+        cache_w = lm.init_cache(2, 64)
+        pad = np.zeros((1, 64), np.int32)
+        pad[0, : len(toks)] = toks
+        logits_whole, _ = lm.prefill_slot(cache_w, pad, 1, len(toks))
+
+        cache_c = lm.init_cache(2, 64)
+        p1 = np.zeros((1, 64), np.int32)
+        p1[0, :16] = toks[:16]
+        _, cache_c = lm.prefill_slot(cache_c, p1, 1, 16)
+        p2 = np.zeros((1, 8), np.int32)
+        p2[0, :8] = toks[16:]
+        logits_chunk, _ = lm.prefill_slot_continue(cache_c, p2, 1, 16, 8)
+        np.testing.assert_allclose(
+            np.asarray(logits_chunk), np.asarray(logits_whole), rtol=2e-4, atol=2e-4
+        )
