@@ -184,6 +184,28 @@ _verify_step = functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(3
 )
 
 
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(3,))
+def _verify_active(cfg, params, rope, cache, tokens, active):
+    """Batched speculative verify over ALL slots of a multi-slot cache with
+    an activity mask: ``tokens [max_slots, K+1]`` = per-row [cur, d1..dK].
+    One forward scores every running stream's drafts at the weight-HBM cost
+    of a single decode step; inactive rows' KV writes are dropped
+    (write position >= max_seq) and their lengths stay put. Returns
+    (model_tok ``[B, K+1]``, n_accept ``[B]``, cache) — per-row greedy
+    acceptance identical to :func:`_verify_body`."""
+    start = cache.lengths
+    hidden, new_cache = forward_hidden(
+        cfg, params, tokens, cache, start, rope, active=active
+    )
+    logits = lm_logits(cfg, params, hidden)  # [B, K+1, V]
+    model_tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    match = (model_tok[:, :-1] == tokens[:, 1:]).astype(jnp.int32)
+    n_accept = jnp.cumprod(match, axis=1).sum(axis=1)
+    lengths = jnp.where(active, start + n_accept + 1, start)
+    new_cache = dataclasses.replace(new_cache, lengths=lengths)
+    return model_tok, n_accept, new_cache
+
+
 def ngram_propose(history: list, n: int, k: int, pad: int = 0) -> list:
     """Prompt-lookup draft: continuation of the most recent earlier
     occurrence of the trailing ``n``-gram of ``history``; ``pad``-filled to
@@ -243,13 +265,31 @@ class CausalLM:
         tokenizer=None,
         eos_token_ids: Sequence[int] = (),
         dtype=jnp.bfloat16,
+        fuse: bool | None = None,
     ):
         self.config = config
-        self.params = params
         self.tokenizer = tokenizer
         self.eos_token_ids = tuple(eos_token_ids)
         self.dtype = dtype
         self.rope = make_rope_tables(config)
+        # Optionally fuse wq|wk|wv and gate|up into single GEMVs
+        # (models/fuse.py): bit-identical outputs, fewer HLO ops. Measured
+        # OFF by default: an interleaved same-session A/B on one v5e put
+        # fused decode at 403.9 tok/s vs 417.1 unfused (XLA overlaps the
+        # separate GEMVs' weight streams better than one wide dot), so the
+        # merged-QKV trick the reference uses (qwen3/modeling.rs:186-202)
+        # does not pay on TPU. CRANE_FUSE_PROJ=1 opts in; tensor parallelism
+        # needs the unfused names to shard head axes either way
+        # (ShardedCausalLM passes fuse=False and unfuses first).
+        import os
+
+        if fuse is None:
+            fuse = os.environ.get("CRANE_FUSE_PROJ", "0") == "1"
+        if fuse:
+            from crane_tpu.models.fuse import fuse_params
+
+            params = fuse_params(params)
+        self.params = params
 
     # -- cache management ----------------------------------------------------
     def init_cache(self, batch: int, max_seq: int, *, quant_bits: int | None = None) -> KVCache:
@@ -314,6 +354,13 @@ class CausalLM:
         return _verify_slot(
             self.config, self.params, self.rope, cache,
             jnp.asarray(tokens, jnp.int32), jnp.asarray(slot, jnp.int32),
+        )
+
+    def verify_active(self, cache, tokens, active):
+        """Batched speculative verify over all slots with an activity mask."""
+        return _verify_active(
+            self.config, self.params, self.rope, cache,
+            jnp.asarray(tokens, jnp.int32), jnp.asarray(active, jnp.bool_),
         )
 
     def decode_steps(self, cache, tokens, recent, sp: SamplingParams, key, n_steps: int):

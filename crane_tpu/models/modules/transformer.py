@@ -220,6 +220,13 @@ def mlp_block(cfg: TransformerConfig, p: dict, x: jax.Array) -> jax.Array:
     """SwiGLU: down(act(gate(x)) * up(x)) — reference modules/ffn.rs."""
     if "router" in p:
         return moe_block(cfg, p, x)
+    if "gate_up" in p:
+        # fused gate|up projection (models/fuse.py): one GEMV over the same
+        # bytes — bit-identical to the two separate dots per output column
+        gu = linear(x, p["gate_up"])
+        half = gu.shape[-1] // 2
+        g, u = gu[..., :half], gu[..., half:]
+        return linear(_activation(cfg, g) * u, p["down"])
     return linear(_activation(cfg, linear(x, p["gate"])) * linear(x, p["up"]), p["down"])
 
 
@@ -336,9 +343,17 @@ def attention_block(
     B, S, _ = x.shape
     H, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
-    q = linear(x, p["wq"], p.get("bq"))
-    k = linear(x, p["wk"], p.get("bk"))
-    v = linear(x, p["wv"], p.get("bv"))
+    if "wqkv" in p:
+        # fused q|k|v projection (models/fuse.py): one GEMV, sliced after —
+        # bit-identical to the three separate dots per output column
+        qkv = linear(x, p["wqkv"], p.get("bqkv"))
+        sq = H * D * (2 if cfg.attn_output_gate else 1)
+        sk = Hkv * D
+        q, k, v = qkv[..., :sq], qkv[..., sq : sq + sk], qkv[..., sq + sk :]
+    else:
+        q = linear(x, p["wq"], p.get("bq"))
+        k = linear(x, p["wk"], p.get("bk"))
+        v = linear(x, p["wv"], p.get("bv"))
 
     gate = None
     if cfg.attn_output_gate:

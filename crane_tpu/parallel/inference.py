@@ -77,12 +77,19 @@ class ShardedCausalLM(CausalLM):
     SPMD with no code changes."""
 
     def __init__(self, base: CausalLM, mesh: Mesh):
+        from crane_tpu.models.fuse import unfuse_params
+
+        # TP shards q/k/v head axes under their own names and tp-splitting a
+        # fused wqkv would mix q/k/v columns across chips — unfuse first
+        # (fuse=False keeps it that way; the per-chip GEMVs are already
+        # 1/tp-sized, so the single-chip fusion win doesn't apply)
         super().__init__(
             base.config,
-            shard_params(base.params, mesh),
+            shard_params(unfuse_params(base.config, base.params), mesh),
             tokenizer=base.tokenizer,
             eos_token_ids=base.eos_token_ids,
             dtype=base.dtype,
+            fuse=False,
         )
         self.mesh = mesh
 
