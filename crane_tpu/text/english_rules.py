@@ -29,7 +29,8 @@ LITERALS = [
     ("sure", "ʒɚ"), ("ture", "tʃɚ"), ("augh", "ɔː"), ("eigh", "eɪ"),
     ("igh", "aɪ"), ("oar", "ɔɹ"), ("our", "aʊɹ"), ("oor", "ɔɹ"),
     ("ear", "ɪɹ"), ("eer", "ɪɹ"), ("ier", "ɪɹ"), ("air", "ɛɹ"),
-    ("are", "ɛɹ"), ("ire", "aɪɹ"), ("ure", "jʊɹ"),
+    ("are", "ɛɹ"), ("ire", "aɪɹ"), ("ure", "jʊɹ"), ("ould", "ʊd"),
+    ("ore", "ɔɹ"), ("ook", "ʊk"),
     ("ai", "eɪ"), ("ay", "eɪ"), ("au", "ɔː"), ("aw", "ɔː"), ("ea", "iː"),
     ("ee", "iː"), ("ei", "eɪ"), ("ey", "eɪ"), ("eu", "juː"), ("ew", "juː"),
     ("ie", "iː"), ("oa", "oʊ"), ("oe", "oʊ"), ("oi", "ɔɪ"), ("oy", "ɔɪ"),
@@ -115,8 +116,24 @@ _R_COLORED = {"a": "ɑɹ", "e": "ɛɹ", "i": "ɪɹ", "o": "ɔɹ", "u": "ʊɹ", "
 
 def _oov_vowel(w: str, i: int):
     """R-colored, then magic-e, then the open/closed syllable heuristic."""
-    if i + 1 < len(w) and w[i + 1] == "r" and w[i] in _R_COLORED:
+    n = len(w)
+    if (
+        i + 1 < n and w[i + 1] == "r" and w[i] in _R_COLORED
+        # r-coloring needs the r to close the syllable: an intervocalic or
+        # doubled r starts the NEXT syllable and the vowel stays plain
+        # (carry = kæri, not kɑɹi)
+        and not (i + 2 < n and (w[i + 2] == "r" or _is_vowel(w[i + 2])))
+    ):
         return _R_COLORED[w[i]], 2
+    # word-final y in a polysyllable is the unstressed close vowel (easy =
+    # izi, not izaɪ); monosyllables (my, fly) keep aɪ via the open-syllable
+    # branch below. (This + the r guard: lexicon-holdout CER
+    # 0.2405 -> 0.2253, crane_tpu/text/cer.py)
+    if (
+        w[i] == "y" and i == n - 1
+        and any(_is_vowel(c) for c in w[:i])
+    ):
+        return "i", 1
     magic = _magic_e_lengthens(w, i)
     nv = _next_vowel_index(w, i + 1)
     if nv is not None:
@@ -125,6 +142,17 @@ def _oov_vowel(w: str, i: int):
     else:
         closed = i + 1 < len(w) and not _is_vowel(w[i + 1])
     c = w[i]
+    if c == "o" and i + 1 < n:
+        # o before nasals/v is the STRUT vowel even in magic-e words (come,
+        # money, month, love, done) — but not before ng (long, song)
+        nxt = w[i + 1]
+        if nxt in "mv" or (nxt == "n" and not w.startswith("ng", i + 1)):
+            if closed or magic:
+                return "ʌ", 1
+        # o before a voiceless fricative cluster is the THOUGHT vowel
+        # (often, office, off, cost, across)
+        if nxt in "fs" and closed:
+            return "ɔː", 1
     if c == "a":
         return ("eɪ" if magic else "æ" if closed else "ɑː"), 1
     if c == "e":
@@ -216,6 +244,75 @@ def _oov_grapheme_to_ipa(word: str) -> str:
         if i == 0 and n >= 2 and (
             (w[0] in "kg" and w[1] == "n") or w[:2] in ("wr", "ps")
         ):
+            i += 1
+            continue
+        # initial y before a vowel is the glide (young = jʌŋ, not a vowel
+        # cluster)
+        if i == 0 and w[0] == "y" and n >= 2 and _is_vowel(w[1]):
+            out.append("j")
+            i += 1
+            continue
+        # wh before o: the w is silent and the h sounds (who, whose, whole)
+        if w.startswith("who", i):
+            out.append("h")
+            i += 2
+            continue
+        # ew/eu after a coronal is the plain long u (new = nu, not nju)
+        if w.startswith("ew", i) or w.startswith("eu", i):
+            prev = w[i - 1] if i > 0 else ""
+            out.append("uː" if prev in "nlrstdzj" else "juː")
+            i += 2
+            continue
+        # -cial/-tial = ʃəl (social, special, partial)
+        if w.startswith("cial", i) or w.startswith("tial", i):
+            out.append("ʃəl")
+            i += 4
+            continue
+        # intervocalic th before -er is voiced (mother, weather, together)
+        if w.startswith("ther", i) and i > 0 and _is_vowel(w[i - 1]):
+            out.append("ð")
+            i += 2
+            continue
+        # word-initial unstressed a + single consonant + vowel (about,
+        # again, along, away) reduces to schwa; clusters (after, angry)
+        # and aCC patterns keep the full vowel
+        if (
+            i == 0 and w[0] == "a" and n >= 3
+            and _is_consonant(w[1]) and _is_vowel(w[2])
+        ):
+            out.append("ə")
+            i += 1
+            continue
+        # word-final -nge is n + soft g (change, range, strange) — the plain
+        # ng -> ŋ literal would swallow the affricate
+        if w.startswith("nge", i) and i + 3 == n:
+            out.append("ndʒ")
+            i += 3
+            continue
+        # word-final unstressed -er after a consonant is the schwar
+        # (teacher, number, water; beer/pier keep their literals via the
+        # vowel guard)
+        if w.startswith("er", i) and i + 2 == n and i > 0 and _is_consonant(w[i - 1]):
+            out.append("ɚ")
+            i += 2
+            continue
+        # word-initial u in an open syllable is the glide vowel (use, unit,
+        # usually)
+        if (
+            i == 0 and w[0] == "u" and n >= 3
+            and _is_consonant(w[1]) and _is_vowel(w[2])
+        ):
+            out.append("juː")
+            i += 1
+            continue
+        # word-final single s after a voiced letter sound is the voiced
+        # sibilant (plural/3sg morphology: says, theirs, wins, dogs)
+        if (
+            w[i] == "s" and i == n - 1 and i > 0
+            and w[i - 1] in "bdgvlmnrwyz" + "aeiou"
+            and w[i - 1] != "s"
+        ):
+            out.append("z")
             i += 1
             continue
         if _is_silent_final_mb(w, i):

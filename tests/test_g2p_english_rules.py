@@ -119,7 +119,9 @@ class TestVowels:
 
     def test_r_controlled(self):
         assert "ɑɹ" in hand_oov_rules_ipa("car")
-        assert "ɛɹ" in hand_oov_rules_ipa("her")
+        # final unstressed/NURSE -er is the schwar, not the DRESS vowel
+        assert "ɚ" in hand_oov_rules_ipa("her")
+        assert "ɚ" in hand_oov_rules_ipa("teacher")
 
     def test_short_e_only_words_keep_vowel(self):
         for w in ("he", "be", "she"):
