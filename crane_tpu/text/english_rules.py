@@ -25,7 +25,8 @@ FUNCTION_WORDS = {
 # longest-first within each cluster; "gh"/"th" resolved by context logic,
 # "ough" handled inline before this table
 LITERALS = [
-    ("tch", "tʃ"), ("dge", "dʒ"), ("tion", "ʃən"), ("sion", "ʒən"),
+    ("tch", "tʃ"), ("dge", "dʒ"), ("ation", "eɪʃən"), ("tion", "ʃən"),
+    ("sion", "ʒən"),
     ("sure", "ʒɚ"), ("ture", "tʃɚ"), ("augh", "ɔː"), ("eigh", "eɪ"),
     ("igh", "aɪ"), ("oar", "ɔɹ"), ("our", "aʊɹ"), ("oor", "ɔɹ"),
     ("ear", "ɪɹ"), ("eer", "ɪɹ"), ("ier", "ɪɹ"), ("air", "ɛɹ"),
@@ -360,15 +361,43 @@ def _oov_grapheme_to_ipa(word: str) -> str:
     return "".join(out)
 
 
+def _vowel_nucleus_positions(ipa: str) -> list[int]:
+    """Start indices of vowel nuclei, greedy longest-first scan."""
+    by_len = sorted(VOWEL_PREFIXES, key=len, reverse=True)
+    out, i = [], 0
+    while i < len(ipa):
+        for v in by_len:
+            if ipa.startswith(v, i):
+                out.append(i)
+                i += len(v)
+                break
+        else:
+            i += 1
+    return out
+
+
 def add_primary_stress_if_missing(ipa: str) -> str:
     """Insert the primary stress mark before the highest-priority vowel,
-    unless any stress mark is already present."""
+    unless any stress mark is already present; long words with two or more
+    nuclei before the primary also get initial secondary stress
+    (infor-MA-tion -> ˌɪnfəɹˈmeɪʃən — reference english_rules.rs places
+    secondary stress the same way)."""
     if not ipa or IPA_PRIMARY_STRESS in ipa or IPA_SECONDARY_STRESS in ipa:
         return ipa
     for prefix in VOWEL_PREFIXES:
         pos = ipa.find(prefix)
         if pos >= 0:
-            return ipa[:pos] + IPA_PRIMARY_STRESS + ipa[pos:]
+            marked = ipa[:pos] + IPA_PRIMARY_STRESS + ipa[pos:]
+            nuclei = _vowel_nucleus_positions(ipa)
+            before = [p for p in nuclei if p < pos]
+            # only genuinely long derivations carry audible secondary
+            # stress; short words with a late primary do not
+            if len(before) >= 2 and len(nuclei) >= 4:
+                first = before[0]
+                marked = (
+                    marked[:first] + IPA_SECONDARY_STRESS + marked[first:]
+                )
+            return marked
     return IPA_PRIMARY_STRESS + ipa
 
 

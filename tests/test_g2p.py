@@ -104,7 +104,7 @@ class TestPhonemizer:
         assert letter_to_sound("check") == "tʃˈɛk"
         # closed-syllable 'a' + the -tion literal; the stress heuristic
         # ranks ə above æ (english_rules.rs VOWEL_PREFIXES priority)
-        assert letter_to_sound("nation") == "næʃˈən"
+        assert letter_to_sound("nation") == "nˈeɪʃən"  # -ation literal
 
 
 # ── lexicon / ipa postprocess / OOV tiers (reference g2p/{lexicon,

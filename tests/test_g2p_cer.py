@@ -11,6 +11,7 @@ the equivalent harness. History on the 567-word seed-lexicon holdout
   + a-schwa/-nge/final-s-voicing         0.1972
   + ould/ore/ook + o-contexts            0.1856
   + final-er schwar + initial-u glide    0.1773
+  + -ation literal + secondary stress     0.1771
 
 A rules change that regresses the bound must come with a measured
 justification (update the constant AND this table).

@@ -158,3 +158,13 @@ class TestMisc:
     def test_compound_digraph_boundary_known_limitation(self):
         # documented limitation: gh spans the compound boundary
         assert hand_oov_rules_ipa("doghouse") == "dɒˈaʊs"
+
+
+def test_secondary_stress_on_long_derivations():
+    """Long -ation derivations carry initial secondary stress like the
+    reference (english_rules.rs secondary-stress placement); short words
+    never do."""
+    assert hand_oov_rules_ipa("information").startswith("ˌ")
+    assert "ˈeɪʃən" in hand_oov_rules_ipa("information")
+    assert "ˌ" not in hand_oov_rules_ipa("cat")
+    assert "ˌ" not in hand_oov_rules_ipa("about")
