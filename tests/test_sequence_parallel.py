@@ -209,6 +209,12 @@ def test_sp_with_engine_speculative_matches(lm):
     slm = sp_shard_lm(lm, make_sp_mesh(4))
     engine = InferenceEngine(slm, max_slots=1, max_seq_len=64,
                              speculative="ngram", spec_k=4)
+    # exactness must hold for ARBITRARY drafts; pin them non-pad so the
+    # verify path runs every step (the engine otherwise skips an all-pad
+    # verify in favor of a full decode block)
+    import crane_tpu.models.causal_lm as _clm
+    orig_propose = _clm.ngram_propose
+    _clm.ngram_propose = lambda h, n, k, pad=0: ([5, 6, 7, 8] * k)[:k]
     q = engine.submit(EngineRequest(
         request_id="r", prompt_ids=prompt, max_new_tokens=10,
         sampling=SamplingOptions(do_sample=False, repetition_penalty=1.0)))
@@ -223,6 +229,7 @@ def test_sp_with_engine_speculative_matches(lm):
             break
         if r.token is not None:
             toks.append(r.token)
+    _clm.ngram_propose = orig_propose
     assert toks == expected
     assert engine.stats.spec_steps > 0  # the fast path actually ran
 
@@ -254,7 +261,8 @@ def test_sp_prefix_reuse_matches_single_device(lm):
 
     slm = sp_shard_lm(lm, make_sp_mesh(4))
     engine = InferenceEngine(slm, max_slots=2, max_seq_len=64,
-                             decode_tokens_per_seq=2, prefix_reuse_min=4)
+                             decode_tokens_per_seq=2, prefix_reuse_min=4,
+                             bucket_align=4)  # fine-grained reuse under test
     assert engine.prefix_cache  # the sp wrapper exposes a positional config
     prompt = [3, 14, 15, 92, 6, 5, 35, 89]
     t1 = run(engine, "turn1", prompt, 6)
