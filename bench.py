@@ -150,13 +150,69 @@ def _decode_rate(params_transform=None, *, kv_bits=None, max_seq=2048,
         n_dispatch * (block_long - block_short), groups=groups, reps=reps)
 
 
+def _stream_gbs() -> float:
+    """Same-session HBM streaming calibration: GB/s of a 1 GiB read chain.
+    Distinguishes a sick chip/tunnel session from a code regression — the
+    decode roofline_frac is computed against THIS number, not a datasheet."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from crane_tpu.utils.timing import host_sync
+
+    big = jnp.ones((512 * 1024 * 1024,), jnp.bfloat16)  # 1 GiB
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def read_chain(x, n):
+        def body(c, _):
+            return c + jnp.sum(x * (1 + c * 0)), None
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
+        return c
+
+    def run(n):
+        host_sync(read_chain(big, 4))
+        t0 = time.perf_counter()
+        host_sync(read_chain(big, n))
+        return time.perf_counter() - t0
+
+    run(8), run(32)
+    rates = []
+    for i in range(3):
+        if i % 2 == 0:
+            t1, t2 = run(8), run(32)
+        else:
+            t2, t1 = run(32), run(8)
+        rates.append(24 * big.nbytes / max(t2 - t1, 1e-9) / 1e9)
+    return sorted(rates)[1]
+
+
 def bench_decode() -> None:
+    import jax
+
     tok_s, spread = _decode_rate()
+    stream = _stream_gbs()
+    # per-token weight bytes at QWEN3_0_6B bf16 (tied head counted once:
+    # the embed gather reads one row, the head GEMV streams the full matrix)
+    import jax.numpy as jnp
+
+    from crane_tpu.models.init import QWEN3_0_6B, init_params
+
+    w_bytes = sum(
+        x.size * x.dtype.itemsize
+        for x in jax.tree.leaves(
+            jax.eval_shape(lambda: init_params(QWEN3_0_6B, seed=0, dtype=jnp.bfloat16))
+        )
+    )
+    roofline_frac = tok_s * w_bytes / (stream * 1e9)
     print(json.dumps({
         "metric": "qwen3_0.6b_decode_tok_s_per_chip",
         "value": round(tok_s, 3), "unit": "tokens/sec",
         "vs_baseline": round(tok_s / REF_METAL_TOK_S, 3),
-        "detail": {"group_medians": [round(r, 1) for r in spread]},
+        "detail": {"group_medians": [round(r, 1) for r in spread],
+                   "stream_gbs": round(stream, 1),
+                   "weight_bytes": w_bytes,
+                   "roofline_frac": round(roofline_frac, 3)},
     }))
 
 
@@ -180,7 +236,7 @@ def bench_quant() -> None:
     variants = {
         "bf16": base,
         "w8": quantize_params(base, bits=8, quant_tied_head=False),
-        "w4": quantize_params(base, bits=4, quant_tied_head=False),
+        "w8h": quantize_params(base, bits=8, quant_tied_head=True),
         "w4h": quantize_params(base, bits=4, quant_tied_head=True),
     }
     lms = {k: CausalLM(cfg, p, dtype=jnp.bfloat16) for k, p in variants.items()}
@@ -212,7 +268,7 @@ def bench_quant() -> None:
             t2 = run_chain(lm, 40)
             rates[k].append(32 * DECODE_BLOCK / max(t2 - t1, 1e-9))
     med = {k: sorted(v)[1] for k, v in rates.items()}
-    best_key = max(("w8", "w4", "w4h"), key=lambda k: med[k])
+    best_key = max(("w8", "w8h", "w4h"), key=lambda k: med[k])
     print(json.dumps({
         "metric": "qwen3_0.6b_quant_decode_tok_s_per_chip",
         "value": round(med[best_key], 2), "unit": "tokens/sec",
@@ -518,11 +574,59 @@ def bench_serve() -> None:
 
     single = slot_rate(1)
     agg8 = slot_rate(8)
+
+    # engine-level batched speculative decode on a repetitive workload:
+    # 8 greedy streams, drafts from each stream's own n-gram history, ONE
+    # batched verify per step (vs the plain engine's batched decode). This
+    # measures the real serving surface end-to-end (tunnel dispatch
+    # included), so the spec win shows up both as fewer weight passes and
+    # fewer RPCs per token.
+    from crane_tpu.serve.engine import InferenceEngine
+    from crane_tpu.serve.sequence import EngineRequest, SamplingOptions
+
+    def engine_rate(speculative) -> float:
+        engine = InferenceEngine(
+            lm, max_slots=8, max_seq_len=512, decode_tokens_per_seq=8,
+            speculative=speculative, prefix_cache=False,
+        )
+        engine.warmup()
+        n_new = 48
+        reqs = [
+            EngineRequest(
+                request_id=f"r{i}",
+                prompt_ids=([11 + i, 23, 37, 41] * 12)[: 40 + i],
+                max_new_tokens=n_new,
+                sampling=SamplingOptions(do_sample=False,
+                                         repetition_penalty=1.0),
+            )
+            for i in range(8)
+        ]
+        t0 = time.perf_counter()
+        qs = [engine.submit(r) for r in reqs]
+        for _ in range(5000):
+            if not engine.step() and engine.request_q.empty():
+                break
+        total = 0
+        for q in qs:
+            while True:
+                r = q.get(timeout=60)
+                if r.finished:
+                    break
+                if r.token is not None:
+                    total += 1
+        assert total == 8 * n_new, total
+        return total / (time.perf_counter() - t0)
+
+    plain = engine_rate(None)
+    spec = engine_rate("ngram")
     print(json.dumps({
         "metric": "qwen3_0.6b_serve_aggregate_tok_s_per_chip",
         "value": round(agg8, 2), "unit": "tokens/sec",
         "vs_baseline": round(agg8 / single, 3),
-        "detail": {"slots1": round(single, 2), "slots8": round(agg8, 2)},
+        "detail": {"slots1": round(single, 2), "slots8": round(agg8, 2),
+                   "engine8_tok_s": round(plain, 2),
+                   "engine8_spec_tok_s": round(spec, 2),
+                   "spec_vs_plain": round(spec / plain, 3)},
     }))
 
 
@@ -593,11 +697,221 @@ def bench_multiturn() -> None:
     }))
 
 
+def bench_kernels() -> None:
+    """Numerics spot-check of the Pallas kernels against their XLA/lax
+    references ON CHIP (the CRANE_TPU_TESTS assertions trimmed to seconds):
+    a Mosaic regression fails the driver artifact loudly instead of shaving
+    the headline (VERDICT r3 weak #7). Prints pass count + per-kernel us."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from crane_tpu.utils.timing import host_sync
+
+    def rng(*shape, seed=0, dtype=jnp.bfloat16):
+        return jnp.asarray(np.random.default_rng(seed).standard_normal(shape), dtype)
+
+    results = {}
+
+    def check(name, got, ref, tol=5e-2):
+        ok = bool(np.allclose(np.asarray(got, np.float32),
+                              np.asarray(ref, np.float32), rtol=tol, atol=tol))
+        results[name] = ok
+
+    def med_us(run_scalar, n1=8, n2=40):
+        """median us per call via a scan-chained marginal (a single timed
+        call would measure the tunnel RPC, not the kernel — see
+        utils/timing.py). ``run_scalar(c)`` must fold the carry into its
+        input and return a scalar."""
+        @functools.partial(jax.jit, static_argnums=(0,))
+        def chain(n):
+            def body(c, _):
+                return run_scalar(c), None
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
+            return c
+
+        def run(n):
+            host_sync(chain(4))
+            t0 = time.perf_counter()
+            host_sync(chain(n))
+            return time.perf_counter() - t0
+
+        run(n1), run(n2)
+        ts = []
+        for i in range(3):
+            if i % 2 == 0:
+                t1, t2 = run(n1), run(n2)
+            else:
+                t2, t1 = run(n2), run(n1)
+            ts.append((t2 - t1) / (n2 - n1) * 1e6)
+        return round(sorted(ts)[1], 1)
+
+    timings = {}
+
+    # flash attention (prefill)
+    from crane_tpu.ops.attention import gqa_attention
+    from crane_tpu.ops.pallas.flash_attention import flash_attention_causal
+
+    B, S, Hq, Hkv, D = 1, 1024, 16, 8, 128
+    q, k, v = rng(B, S, Hq, D, seed=1), rng(B, S, Hkv, D, seed=2), rng(B, S, Hkv, D, seed=3)
+    pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
+    check("flash_attention",
+          flash_attention_causal(q, k, v, scale=D ** -0.5),
+          gqa_attention(q, k, v, pos, scale=D ** -0.5))
+    timings["flash_attention"] = med_us(
+        lambda: flash_attention_causal(q, k, v, scale=D ** -0.5))
+
+    # quant matmul int8/int4
+    from crane_tpu.ops.linear import pack_int4_rows
+    from crane_tpu.ops.pallas.quant_matmul import quant_matmul
+
+    I, O = 1024, 2048
+    x = rng(1, I, seed=4)
+    for bits in (8, 4):
+        codes = np.random.default_rng(5).integers(
+            -(2 ** (bits - 1) - 1), 2 ** (bits - 1), (I, O)).astype(np.int8)
+        scales = np.abs(np.random.default_rng(6).normal(size=(1, O))).astype(np.float32) * 0.01
+        ref = (np.asarray(x, np.float32) @ codes.astype(np.float32)) * scales
+        packed = pack_int4_rows(jnp.asarray(codes)) if bits == 4 else jnp.asarray(codes)
+        check(f"quant_matmul_w{bits}",
+              quant_matmul(x, packed, jnp.asarray(scales), bits=bits), ref)
+        timings[f"quant_matmul_w{bits}"] = med_us(
+            lambda p=packed, s=jnp.asarray(scales), b=bits: quant_matmul(x, p, s, bits=b))
+
+    # fused decode attention (int8 + fp16 modes)
+    from crane_tpu.ops.kv_cache import LayerKVCache, QuantLayerKVCache
+    from crane_tpu.ops.pallas.quant_attention import quant_decode_attention
+
+    B, T = 2, 1024
+    valid = jnp.asarray([700, 512], jnp.int32)
+    kv_k, kv_v = rng(B, T, Hkv, D, seed=7) * 0.5, rng(B, T, Hkv, D, seed=8) * 0.5
+    qd = rng(B, 1, Hq, D, seed=9)
+    qc = QuantLayerKVCache.empty(B, T, Hkv, D, bits=8).update(
+        kv_k, kv_v, jnp.asarray(0, jnp.int32))
+    kd, vd = qc.dequant(jnp.bfloat16)
+    check("quant_decode_attention_w8",
+          quant_decode_attention(qd, qc.k, qc.v, qc.k_scale, qc.v_scale, valid,
+                                 n_kv_heads=Hkv, bits=8, scale=D ** -0.5,
+                                 block_t=256),
+          gqa_attention(qd, kd, vd, (valid - 1)[:, None], scale=D ** -0.5))
+    timings["quant_decode_attention_w8"] = med_us(
+        lambda: quant_decode_attention(qd, qc.k, qc.v, qc.k_scale, qc.v_scale,
+                                       valid, n_kv_heads=Hkv, bits=8,
+                                       scale=D ** -0.5, block_t=256))
+    fc = LayerKVCache.empty(B, T, Hkv, D, dtype=jnp.bfloat16).update(
+        kv_k, kv_v, jnp.asarray(0, jnp.int32))
+    check("fp_decode_attention",
+          quant_decode_attention(qd, fc.k, fc.v, None, None, valid,
+                                 bits=16, scale=D ** -0.5, block_t=256),
+          gqa_attention(qd, fc.k, fc.v, (valid - 1)[:, None], scale=D ** -0.5))
+    timings["fp_decode_attention"] = med_us(
+        lambda: quant_decode_attention(qd, fc.k, fc.v, None, None, valid,
+                                       bits=16, scale=D ** -0.5, block_t=256))
+
+    # GDN recurrence scan
+    from crane_tpu.ops.gdn import gdn_recurrence_ref
+    from crane_tpu.ops.pallas.gdn_scan import gdn_recurrence_pallas
+
+    Bg, Sg, Hg, Kg, Vg = 2, 256, 4, 128, 128
+    r = np.random.default_rng(10)
+    qg = jnp.asarray(r.standard_normal((Bg, Sg, Hg, Kg)), jnp.float32) * 0.2
+    kg = jnp.asarray(r.standard_normal((Bg, Sg, Hg, Kg)), jnp.float32) * 0.2
+    vg = jnp.asarray(r.standard_normal((Bg, Sg, Hg, Vg)), jnp.float32) * 0.2
+    gg = jnp.asarray(r.uniform(-2, 0, (Bg, Sg, Hg)), jnp.float32)
+    bg = jnp.asarray(r.uniform(0, 1, (Bg, Sg, Hg)), jnp.float32)
+    out_ref, st_ref = gdn_recurrence_ref(qg, kg, vg, gg, bg)
+    out, st = gdn_recurrence_pallas(qg, kg, vg, gg, bg)
+    ok = bool(np.allclose(np.asarray(out), np.asarray(out_ref), rtol=2e-3, atol=2e-3)
+              and np.allclose(np.asarray(st), np.asarray(st_ref), rtol=2e-3, atol=2e-3))
+    results["gdn_recurrence"] = ok
+    timings["gdn_recurrence"] = med_us(
+        lambda: gdn_recurrence_pallas(qg, kg, vg, gg, bg)[0])
+
+    n_ok = sum(results.values())
+    print(json.dumps({
+        "metric": "pallas_kernel_health", "value": n_ok,
+        "unit": f"kernels_ok_of_{len(results)}",
+        "vs_baseline": round(n_ok / len(results), 3),
+        "detail": {k: {"ok": results[k], "us": timings.get(k)} for k in results},
+    }))
+
+
+def bench_kokoro() -> None:
+    """Kokoro CPU-class TTS: G2P phonemizer throughput (reference criterion
+    bench, crane-core/benches/g2p.rs) + native synthesis RTF at the real
+    KokoroNetConfig shapes (reference headline: 'faster than real time on
+    CPU alone', README.md:80). Random weights; throughput is
+    weight-content-independent."""
+    import numpy as np
+
+    from crane_tpu.models.kokoro_tts import (
+        STYLE_DIM, KokoroNetConfig, KokoroSynthesizer,
+    )
+    from crane_tpu.text.g2p import Phonemizer
+
+    text = (
+        "The quick brown fox jumps over the lazy dog near the riverbank, "
+        "while seventeen curious engineers measured 42 kilometers of cable "
+        "in 1984 and Dr. Smith read the results aloud at 3 pm. "
+    ) * 8
+    Phonemizer().phonemize("warm up the interpreter")
+    t0 = time.perf_counter()
+    reps = 10
+    for _ in range(reps):
+        # fresh phonemizer per rep: the per-instance LRU cache never carries
+        # over, so this measures cold lexicon+LTS throughput, not cache hits
+        phones = Phonemizer().phonemize(text)
+    assert phones.strip()
+    g2p_cps = reps * len(text) / (time.perf_counter() - t0)
+
+    cfg = KokoroNetConfig()  # real Kokoro-82M net shapes
+    synth = KokoroSynthesizer(cfg, seed=0)
+    rng = np.random.default_rng(0)
+    style = rng.standard_normal(STYLE_DIM)
+    ids = rng.integers(1, cfg.vocab_size, 96)  # ~a sentence of phonemes
+    wav = synth(ids, style, 1.0)  # warm compile
+    t0 = time.perf_counter()
+    reps, samples = 5, 0
+    for _ in range(reps):
+        wav = synth(ids, style, 1.0)
+        samples += wav.shape[0]
+    wall = time.perf_counter() - t0
+    rtf = wall / (samples / 24000.0)
+    print(json.dumps({
+        "metric": "kokoro_tts_rtf", "value": round(rtf, 4),
+        "unit": "synth_sec/audio_sec", "vs_baseline": round(1.0 / rtf, 2),
+        "detail": {"g2p_chars_per_s": round(g2p_cps, 0)},
+    }))
+
+
 MODES = {
     "decode": bench_decode, "vl": bench_vl, "tts": bench_tts,
     "asr": bench_asr, "quant": bench_quant, "longctx": bench_longctx,
     "serve": bench_serve, "multiturn": bench_multiturn,
+    "kernels": bench_kernels, "kokoro": bench_kokoro,
 }
+
+
+def bench_all() -> None:
+    """The driver-visible north-star table (VERDICT r3 missing #2): one JSON
+    line per mode, decode LAST so the driver's last-line parse stays the
+    headline. A mode failure prints an error line instead of killing the
+    artifact."""
+    order = ["kernels", "kokoro", "quant", "longctx", "multiturn", "serve",
+             "vl", "tts", "asr", "decode"]
+    for name in order:
+        try:
+            MODES[name]()
+        except Exception as e:  # pragma: no cover - defensive driver path
+            print(json.dumps({
+                "metric": f"{name}_FAILED", "value": 0.0, "unit": "error",
+                "vs_baseline": 0.0, "detail": {"error": str(e)[:400]},
+            }))
+
+
+MODES["all"] = bench_all
 
 
 def main() -> None:
@@ -605,7 +919,7 @@ def main() -> None:
 
     enable_compile_cache()
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=sorted(MODES), default="decode")
+    ap.add_argument("--mode", choices=sorted(MODES), default="all")
     MODES[ap.parse_args().mode]()
 
 
