@@ -720,7 +720,7 @@ def bench_kernels() -> None:
                               np.asarray(ref, np.float32), rtol=tol, atol=tol))
         results[name] = ok
 
-    def med_us(run_scalar, n1=8, n2=40):
+    def med_us(run_scalar, n1=32, n2=256):
         """median us per call via a scan-chained marginal (a single timed
         call would measure the tunnel RPC, not the kernel — see
         utils/timing.py). ``run_scalar(c)`` must fold the carry into its
@@ -738,15 +738,25 @@ def bench_kernels() -> None:
             host_sync(chain(n))
             return time.perf_counter() - t0
 
-        run(n1), run(n2)
-        ts = []
-        for i in range(3):
-            if i % 2 == 0:
-                t1, t2 = run(n1), run(n2)
-            else:
-                t2, t1 = run(n2), run(n1)
-            ts.append((t2 - t1) / (n2 - n1) * 1e6)
-        return round(sorted(ts)[1], 1)
+        def marginal(a, b, trials):
+            run(a), run(b)
+            ts = []
+            for i in range(trials):
+                if i % 2 == 0:
+                    t1, t2 = run(a), run(b)
+                else:
+                    t2, t1 = run(b), run(a)
+                ts.append((t2 - t1) / (b - a) * 1e6)
+            return sorted(ts)[trials // 2]
+
+        est = marginal(n1, n2, 3)
+        if est * (n2 - n1) < 20_000:
+            # us-scale kernel: the chain delta must dwarf per-RPC jitter
+            # (~1 ms on the tunnel) or the marginal is noise — a -1.2 us
+            # median shipped in a dry run. Rescale so the delta is >=20 ms.
+            n2 = n1 + min(16384, max(n2 - n1, int(20_000 / max(est, 0.1))))
+            est = marginal(n1, n2, 5)
+        return round(max(est, 0.0), 1)
 
     timings = {}
 
@@ -760,8 +770,15 @@ def bench_kernels() -> None:
     check("flash_attention",
           flash_attention_causal(q, k, v, scale=D ** -0.5),
           gqa_attention(q, k, v, pos, scale=D ** -0.5))
+    # carry-fold pattern (same as _stream_gbs): multiply an input by
+    # (1 + c*0) so iterations serialize and XLA can't hoist the call out of
+    # the scan; sum the output into the f32 carry so it can't DCE it either.
+    def fold(c, x):
+        return x * (1 + c * 0).astype(x.dtype)
+
     timings["flash_attention"] = med_us(
-        lambda: flash_attention_causal(q, k, v, scale=D ** -0.5))
+        lambda c: jnp.sum(flash_attention_causal(
+            fold(c, q), k, v, scale=D ** -0.5)).astype(jnp.float32))
 
     # quant matmul int8/int4
     from crane_tpu.ops.linear import pack_int4_rows
@@ -778,7 +795,8 @@ def bench_kernels() -> None:
         check(f"quant_matmul_w{bits}",
               quant_matmul(x, packed, jnp.asarray(scales), bits=bits), ref)
         timings[f"quant_matmul_w{bits}"] = med_us(
-            lambda p=packed, s=jnp.asarray(scales), b=bits: quant_matmul(x, p, s, bits=b))
+            lambda c, p=packed, s=jnp.asarray(scales), b=bits: jnp.sum(
+                quant_matmul(fold(c, x), p, s, bits=b)).astype(jnp.float32))
 
     # fused decode attention (int8 + fp16 modes)
     from crane_tpu.ops.kv_cache import LayerKVCache, QuantLayerKVCache
@@ -797,9 +815,10 @@ def bench_kernels() -> None:
                                  block_t=256),
           gqa_attention(qd, kd, vd, (valid - 1)[:, None], scale=D ** -0.5))
     timings["quant_decode_attention_w8"] = med_us(
-        lambda: quant_decode_attention(qd, qc.k, qc.v, qc.k_scale, qc.v_scale,
-                                       valid, n_kv_heads=Hkv, bits=8,
-                                       scale=D ** -0.5, block_t=256))
+        lambda c: jnp.sum(quant_decode_attention(
+            fold(c, qd), qc.k, qc.v, qc.k_scale, qc.v_scale,
+            valid, n_kv_heads=Hkv, bits=8,
+            scale=D ** -0.5, block_t=256)).astype(jnp.float32))
     fc = LayerKVCache.empty(B, T, Hkv, D, dtype=jnp.bfloat16).update(
         kv_k, kv_v, jnp.asarray(0, jnp.int32))
     check("fp_decode_attention",
@@ -807,8 +826,9 @@ def bench_kernels() -> None:
                                  bits=16, scale=D ** -0.5, block_t=256),
           gqa_attention(qd, fc.k, fc.v, (valid - 1)[:, None], scale=D ** -0.5))
     timings["fp_decode_attention"] = med_us(
-        lambda: quant_decode_attention(qd, fc.k, fc.v, None, None, valid,
-                                       bits=16, scale=D ** -0.5, block_t=256))
+        lambda c: jnp.sum(quant_decode_attention(
+            fold(c, qd), fc.k, fc.v, None, None, valid,
+            bits=16, scale=D ** -0.5, block_t=256)).astype(jnp.float32))
 
     # GDN recurrence scan
     from crane_tpu.ops.gdn import gdn_recurrence_ref
@@ -827,7 +847,8 @@ def bench_kernels() -> None:
               and np.allclose(np.asarray(st), np.asarray(st_ref), rtol=2e-3, atol=2e-3))
     results["gdn_recurrence"] = ok
     timings["gdn_recurrence"] = med_us(
-        lambda: gdn_recurrence_pallas(qg, kg, vg, gg, bg)[0])
+        lambda c: jnp.sum(gdn_recurrence_pallas(
+            fold(c, qg), kg, vg, gg, bg)[0]).astype(jnp.float32))
 
     n_ok = sum(results.values())
     print(json.dumps({

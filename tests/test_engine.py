@@ -281,6 +281,44 @@ def test_hbm_budget_sp_counts_replicated_weights(lm):
         del os.environ["CRANE_HBM_BYTES"]
 
 
+@pytest.mark.parametrize("dp,tp", [(1, 2), (4, 1), (2, 2)])
+def test_hbm_budget_weights_divide_by_tp_only(lm, dp, tp):
+    """Weights shard ONLY over tp (parallel/sharding.py: every weight spec
+    uses "tp"); KV shards over dp x tp. Under --dp the old accounting
+    (everything / mesh.size) approved configs needing tp_extent x more weight
+    bytes per chip than approved (VERDICT r4 weak #3, generalizing the r3 sp
+    fix). Accept/reject both directions in tp, dp, and dp x tp topologies."""
+    import os
+
+    from crane_tpu.parallel.inference import shard_lm
+    from crane_tpu.parallel.sharding import make_mesh
+    from crane_tpu.serve.engine import InferenceEngine, _tree_bytes
+
+    mesh = make_mesh(dp=dp, tp=tp)
+    slm = shard_lm(lm, mesh)
+    weights = _tree_bytes(slm.params)
+    kv = _tree_bytes(
+        jax.eval_shape(lambda: slm.init_cache(4, 512, quant_bits=None))
+    )
+    need = int((weights // tp + kv // mesh.size) * 1.15)
+    if dp > 1:
+        # the configs this distinction matters for: the old accounting
+        # under-counts per-chip residency whenever weights replicate
+        wrong = int((weights + kv) * 1.15) // mesh.size
+        assert wrong < need
+    os.environ["CRANE_HBM_BYTES"] = str(need - 1024)
+    try:
+        with pytest.raises(RuntimeError, match="HBM budget exceeded"):
+            InferenceEngine(slm, max_slots=4, max_seq_len=512)
+    finally:
+        del os.environ["CRANE_HBM_BYTES"]
+    os.environ["CRANE_HBM_BYTES"] = str(need + 1024)
+    try:
+        InferenceEngine(slm, max_slots=4, max_seq_len=512)
+    finally:
+        del os.environ["CRANE_HBM_BYTES"]
+
+
 def test_backed_up_queue_keeps_full_decode_blocks(lm):
     """A waiting queue with every slot busy must NOT throttle running
     sequences to 1-token blocks: while no slot is free and no preemption is
@@ -619,6 +657,65 @@ class TestSpeculativeEngine:
         [exp] = self._collect(plain, [greedy_request("a", prompt, n=10)])
         [got] = self._collect(spec, [greedy_request("b", prompt, n=10)])
         assert got == exp
+
+    def test_device_ngram_propose_matches_host(self):
+        """The on-device proposer must produce the HOST proposer's drafts
+        (most recent strictly-earlier n-gram occurrence, 0-padded) for
+        arbitrary histories and lengths — including no-match, history
+        shorter than the n-gram, and continuation running off the end."""
+        from crane_tpu.models.causal_lm import device_ngram_propose, ngram_propose
+
+        rng = np.random.default_rng(0)
+        H, n, k = 64, 3, 6
+        cases = []
+        for L in [1, 2, 3, 4, 7, 20, 40, 64]:
+            cases.append(rng.integers(1, 5, L).tolist())    # dense repeats
+            cases.append(rng.integers(1, 50, L).tolist())   # sparse matches
+        cases.append(([7, 8, 9] * 22)[:64])                 # match at the end
+        B = len(cases)
+        hist = np.zeros((B, H), np.int32)
+        lens = np.zeros((B,), np.int32)
+        for i, c in enumerate(cases):
+            hist[i, : len(c)] = c
+            lens[i] = len(c)
+        got = np.asarray(device_ngram_propose(
+            jnp.asarray(hist), jnp.asarray(lens), n, k))
+        for i, c in enumerate(cases):
+            assert got[i].tolist() == ngram_propose(c, n, k), (i, c)
+
+    def test_gating_stops_probing_on_low_acceptance(self, lm):
+        """Random (non-repetitive) prompts give ~zero draft acceptance: after
+        the first probe dispatch the EMA falls below spec_min_gain and plain
+        blocks take over — the never-lose property's fallback half. Output
+        stays byte-identical to the plain engine."""
+        rng = np.random.default_rng(9)
+        prompts = [rng.integers(1, 500, 24).tolist() for _ in range(4)]
+        plain = InferenceEngine(lm, max_slots=4, max_seq_len=256)
+        spec = InferenceEngine(lm, max_slots=4, max_seq_len=256,
+                               speculative="ngram", spec_rounds=4)
+        exp = self._collect(plain, [greedy_request(f"p{i}", p, n=24)
+                                    for i, p in enumerate(prompts)])
+        got = self._collect(spec, [greedy_request(f"s{i}", p, n=24)
+                                   for i, p in enumerate(prompts)])
+        assert got == exp
+        # exactly one probe ran (spec_rounds verify forwards), then cooldown
+        assert spec.stats.spec_steps == 4
+        assert spec._spec_wait > 0
+
+    def test_history_survives_plain_blocks_between_probes(self, lm):
+        """With spec_min_gain forced unattainable, every probe is followed by
+        plain decode blocks (which must keep the device history rows
+        current); byte-identity across the alternation proves the
+        hist_len == lengths + 1 invariant holds through both paths."""
+        prompt = [5, 6, 7, 8] * 6
+        plain = InferenceEngine(lm, max_slots=2, max_seq_len=256)
+        spec = InferenceEngine(lm, max_slots=2, max_seq_len=256,
+                               speculative="ngram", spec_rounds=2,
+                               spec_min_gain=100.0, spec_cooldown=1)
+        [exp] = self._collect(plain, [greedy_request("a", prompt, n=24)])
+        [got] = self._collect(spec, [greedy_request("b", prompt, n=24)])
+        assert got == exp
+        assert spec.stats.spec_steps >= 4  # several probes actually ran
 
     def test_recurrent_models_never_speculate(self):
         """GDN/conv hybrids can't roll a recurrent state back past rejected

@@ -199,8 +199,11 @@ def test_sp_chunked_prefill_matches_single_device(lm):
 
 
 def test_sp_with_engine_speculative_matches(lm):
-    """--sp + --speculative compose: the slot-level verify runs its S=K+1
-    chunk through the sp continuation path and stays byte-identical."""
+    """--sp + --speculative compose: the chained on-device propose/verify
+    dispatch runs its S=K+1 verify chunks through the sp continuation path
+    and stays byte-identical. The repetitive prompt guarantees the on-device
+    n-gram proposer finds real drafts, so acceptance actually exercises the
+    multi-token accept path, not just the 1-token floor."""
     from crane_tpu.serve.engine import InferenceEngine
     from crane_tpu.serve.sequence import EngineRequest, SamplingOptions
 
@@ -208,13 +211,7 @@ def test_sp_with_engine_speculative_matches(lm):
     expected = lm.generate(prompt, GenerationConfig.greedy(10))
     slm = sp_shard_lm(lm, make_sp_mesh(4))
     engine = InferenceEngine(slm, max_slots=1, max_seq_len=64,
-                             speculative="ngram", spec_k=4)
-    # exactness must hold for ARBITRARY drafts; pin them non-pad so the
-    # verify path runs every step (the engine otherwise skips an all-pad
-    # verify in favor of a full decode block)
-    import crane_tpu.models.causal_lm as _clm
-    orig_propose = _clm.ngram_propose
-    _clm.ngram_propose = lambda h, n, k, pad=0: ([5, 6, 7, 8] * k)[:k]
+                             speculative="ngram", spec_k=4, spec_rounds=4)
     q = engine.submit(EngineRequest(
         request_id="r", prompt_ids=prompt, max_new_tokens=10,
         sampling=SamplingOptions(do_sample=False, repetition_penalty=1.0)))
@@ -229,7 +226,6 @@ def test_sp_with_engine_speculative_matches(lm):
             break
         if r.token is not None:
             toks.append(r.token)
-    _clm.ngram_propose = orig_propose
     assert toks == expected
     assert engine.stats.spec_steps > 0  # the fast path actually ran
 
