@@ -575,37 +575,43 @@ def bench_serve() -> None:
     single = slot_rate(1)
     agg8 = slot_rate(8)
 
-    # engine-level batched speculative decode on a repetitive workload:
-    # 8 greedy streams, drafts from each stream's own n-gram history, ONE
-    # batched verify per step (vs the plain engine's batched decode). This
-    # measures the real serving surface end-to-end (tunnel dispatch
-    # included), so the spec win shows up both as fewer weight passes and
-    # fewer RPCs per token.
+    # engine-level steady-state throughput: 8 greedy streams, 256 new
+    # tokens each (long enough that warmed-state decode dominates over
+    # submission/prefill/drain — the 48-token r4 harness couldn't tell host
+    # overhead from startup). Two workloads x two engines: a repetitive
+    # prompt (n-gram drafts hit: speculative should WIN) and a random one
+    # (drafts miss: acceptance gating must disengage, spec must not LOSE).
+    # decode_tok_s divides by stats.decode_time_s (decode dispatch +
+    # pipelined emit only), so engine_efficiency = decode_tok_s / slots8 is
+    # pure per-token engine overhead vs the raw loop it wraps.
     from crane_tpu.serve.engine import InferenceEngine
     from crane_tpu.serve.sequence import EngineRequest, SamplingOptions
 
-    def engine_rate(speculative) -> float:
+    n_new = 256
+    rep_prompts = [([11 + i, 23, 37, 41] * 12)[: 40 + i] for i in range(8)]
+    rand_prompts = [rng.integers(1, cfg.vocab_size, 48).tolist()
+                    for _ in range(8)]
+
+    def engine_rate(speculative, prompts):
         engine = InferenceEngine(
-            lm, max_slots=8, max_seq_len=512, decode_tokens_per_seq=8,
+            lm, max_slots=8, max_seq_len=1024, decode_tokens_per_seq=8,
             speculative=speculative, prefix_cache=False,
         )
         engine.warmup()
-        n_new = 48
         reqs = [
             EngineRequest(
-                request_id=f"r{i}",
-                prompt_ids=([11 + i, 23, 37, 41] * 12)[: 40 + i],
-                max_new_tokens=n_new,
+                request_id=f"r{i}", prompt_ids=p, max_new_tokens=n_new,
                 sampling=SamplingOptions(do_sample=False,
                                          repetition_penalty=1.0),
             )
-            for i in range(8)
+            for i, p in enumerate(prompts)
         ]
         t0 = time.perf_counter()
         qs = [engine.submit(r) for r in reqs]
-        for _ in range(5000):
+        for _ in range(20000):
             if not engine.step() and engine.request_q.empty():
                 break
+        wall = time.perf_counter() - t0
         total = 0
         for q in qs:
             while True:
@@ -615,18 +621,25 @@ def bench_serve() -> None:
                 if r.token is not None:
                     total += 1
         assert total == 8 * n_new, total
-        return total / (time.perf_counter() - t0)
+        return total / wall, total / engine.stats.decode_time_s
 
-    plain = engine_rate(None)
-    spec = engine_rate("ngram")
+    plain, plain_decode = engine_rate(None, rep_prompts)
+    spec, _ = engine_rate("ngram", rep_prompts)
+    plain_rand, _ = engine_rate(None, rand_prompts)
+    spec_rand, _ = engine_rate("ngram", rand_prompts)
     print(json.dumps({
         "metric": "qwen3_0.6b_serve_aggregate_tok_s_per_chip",
         "value": round(agg8, 2), "unit": "tokens/sec",
         "vs_baseline": round(agg8 / single, 3),
         "detail": {"slots1": round(single, 2), "slots8": round(agg8, 2),
                    "engine8_tok_s": round(plain, 2),
+                   "engine8_decode_tok_s": round(plain_decode, 2),
+                   "engine_efficiency": round(plain_decode / agg8, 3),
                    "engine8_spec_tok_s": round(spec, 2),
-                   "spec_vs_plain": round(spec / plain, 3)},
+                   "spec_vs_plain": round(spec / plain, 3),
+                   "engine8_rand_tok_s": round(plain_rand, 2),
+                   "engine8_spec_rand_tok_s": round(spec_rand, 2),
+                   "spec_vs_plain_rand": round(spec_rand / plain_rand, 3)},
     }))
 
 

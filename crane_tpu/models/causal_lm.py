@@ -211,11 +211,17 @@ def device_ngram_propose(history, hist_len, n: int, k: int):
     counterpart of :func:`ngram_propose` (same draft for the same history).
 
     ``history [B, H]`` int32 token rows, ``hist_len [B]`` valid counts.
-    Returns drafts ``[B, k]``: the continuation of the MOST RECENT strictly
-    earlier occurrence of each row's trailing ``n``-gram, 0-padded where no
-    match exists or the continuation runs off the row's valid region. Cost is
-    ``n`` shifted compares over [B, H] — noise next to a verify forward, and
-    it keeps drafting inside the dispatch (the host-side Python scan was an
+    Returns drafts ``[B, k]``: the continuation of the most recent strictly
+    earlier occurrence of each row's trailing ``n``-gram whose FULL k-token
+    continuation lies inside the valid region, falling back to the most
+    recent occurrence of any kind (0-padded past the valid end) when none
+    does. The full-window preference matters enormously on cyclic tails —
+    the most recent occurrence of a period-p cycle's tail sits p tokens from
+    the end, so its continuation yields only p real drafts (p=1 on a
+    degenerate constant run: acceptance capped at ~2 tokens/round exactly
+    where speculation should saturate at k+1). Cost is ``n`` shifted
+    compares over [B, H] — noise next to a verify forward, and it keeps
+    drafting inside the dispatch (the host-side Python scan was an
     O(L)-per-step serialization point, VERDICT r4 weak #2)."""
     B, H = history.shape
     pos = hist_len[:, None] - n + jnp.arange(n)[None, :]  # [B, n] tail idx
@@ -227,8 +233,11 @@ def device_ngram_propose(history, hist_len, n: int, k: int):
     # strictly earlier occurrence: the window ending at the tail itself
     # (p = L - n) and anything beyond the valid region never match
     match &= p_idx <= hist_len[:, None] - n - 1
+    # prefer a match whose continuation p+n .. p+n+k-1 is fully valid
+    full = match & (p_idx <= hist_len[:, None] - n - k)
+    cand = jnp.where(full.any(axis=1)[:, None], full, match)
     has = match.any(axis=1)
-    p = jnp.argmax(jnp.where(match, p_idx, -1), axis=1)  # most recent p
+    p = jnp.argmax(jnp.where(cand, p_idx, -1), axis=1)  # most recent p
     didx = (p + n)[:, None] + jnp.arange(k)[None, :]  # [B, k]
     drafts = jnp.take_along_axis(history, jnp.clip(didx, 0, H - 1), axis=1)
     ok = has[:, None] & (didx < hist_len[:, None]) & (hist_len[:, None] > n)
@@ -325,15 +334,25 @@ def _decode_active_hist(cfg, params, rope, cache, tokens, recent, sp, key,
 
 def ngram_propose(history: list, n: int, k: int, pad: int = 0) -> list:
     """Prompt-lookup draft: continuation of the most recent earlier
-    occurrence of the trailing ``n``-gram of ``history``; ``pad``-filled to
-    exactly ``k`` tokens (the verify forward is fixed-shape — unmatched
-    pads are simply rejected)."""
+    occurrence of the trailing ``n``-gram of ``history`` whose full k-token
+    continuation exists, else the most recent occurrence of any kind;
+    ``pad``-filled to exactly ``k`` tokens (the verify forward is
+    fixed-shape — unmatched pads are simply rejected). Full-window
+    preference mirrors :func:`device_ngram_propose` — on a period-p cycle
+    the most recent occurrence only carries p real continuation tokens."""
     if len(history) > n:
         tail = history[-n:]
+        best = None
         for i in range(len(history) - n - 1, -1, -1):
             if history[i : i + n] == tail:
-                cont = history[i + n : i + n + k]
-                return cont + [pad] * (k - len(cont))
+                if best is None:
+                    best = i  # most recent match of any kind (fallback)
+                if i + n + k <= len(history):
+                    best = i  # most recent FULL-window match wins
+                    break
+        if best is not None:
+            cont = history[best + n : best + n + k]
+            return cont + [pad] * (k - len(cont))
     return [pad] * k
 
 

@@ -274,6 +274,12 @@ class InferenceEngine:
         self.spec_cooldown = spec_cooldown
         self._spec_ema: Optional[float] = None
         self._spec_wait = 0  # plain blocks remaining until the next probe
+        # depth-1 decode pipeline: the dispatched-but-unprocessed block
+        # (device tokens + n_steps + the slot->seq snapshot at dispatch).
+        # Block N's DtoH + detok + queue puts run while the device computes
+        # block N+1, so per-token host work costs zero device idle time in
+        # the pure-decode steady state (VERDICT r4 next-step #6).
+        self._inflight: Optional[tuple] = None
         self._pending: Optional[dict] = None
         # cross-request prefix reuse: a freed slot's KV rows still hold the
         # finished sequence's context, and a multi-turn chat client resends
@@ -349,6 +355,7 @@ class InferenceEngine:
         self._stop.set()
         if self._thread:
             self._thread.join(timeout=30)
+        self._flush_inflight()  # deliver any tokens the loop left in flight
 
     def warmup(self):
         """Compile EVERY program serving can reach, so a request never pays
@@ -430,6 +437,13 @@ class InferenceEngine:
         self.recent = jnp.full((self.max_slots, RECENT_WINDOW), -1, jnp.int32)
         self.cur_tokens = jnp.zeros((self.max_slots,), jnp.int32)
         self.sp = SamplingParams.make(self.max_slots)
+        # Drain the device queue with a REAL sync (device->host transfer)
+        # before declaring warm. On remote-dispatch runtimes
+        # block_until_ready acks enqueue, not execution, so without this
+        # every warmup program's execution backlog lands on the first
+        # request (measured: 204s absorbed into "step 0" on the tunnel —
+        # the whole 8-stream run then took 1.0s).
+        np.asarray(self.cur_tokens)
         log.info("warmup done in %.1fs", time.perf_counter() - t0)
 
     # -- engine loop ---------------------------------------------------------
@@ -470,6 +484,11 @@ class InferenceEngine:
                 self._decode_block(1)
             return True
 
+        if self.scheduler.waiting:
+            # admission / preemption decisions need current slot occupancy,
+            # and a finish hiding in the inflight block may free a slot
+            self._flush_inflight()
+
         seq = self.scheduler.next_prefill()
         if seq is not None:
             self._admit(seq)
@@ -478,11 +497,23 @@ class InferenceEngine:
         if self._maybe_preempt():
             return True
 
-        if any(self.active):
+        if any(self.active) or self._inflight is not None:
+            if not any(self.active):
+                # only the trailing block is left (its streams finished
+                # during the previous flush): drain it and go idle
+                self._flush_inflight()
+                return True
             spec_seq = self._spec_candidate()
             if spec_seq is not None:
-                self._spec_block(spec_seq)
-                return True
+                # the speculative budget check reads host-visible positions,
+                # which lag by the inflight block: flush and re-validate
+                self._flush_inflight()
+                spec_seq = self._spec_candidate()
+                if spec_seq is not None:
+                    self._spec_block(spec_seq)
+                    return True
+                if not any(self.active):
+                    return True
             n = self.decode_tokens_per_seq
             if self.scheduler.waiting and (
                 any(s is None for s in self.slots) or self._preempt_imminent()
@@ -946,6 +977,15 @@ class InferenceEngine:
         self.stats.decode_time_s += time.perf_counter() - t0
 
     def _decode_block(self, n_steps: int):
+        """Dispatch one masked decode block, then process the PREVIOUS
+        block's tokens while the device computes this one (depth-1
+        pipeline). Dispatch is an async enqueue, so tokens still stream the
+        moment their transfer lands — the only cost of the deferral is up to
+        one block of junk compute after a finish, which the admission-time
+        length reset already masks (the same discipline as rejected
+        speculative rows). A finish can therefore only surface one block
+        late; ``max_new_tokens``'s slot-capacity clamp keeps even that junk
+        block's writes at the cache's spare tail row."""
         t0 = time.perf_counter()
         self._key, sub = jax.random.split(self._key)
         if self.history is not None:
@@ -961,12 +1001,28 @@ class InferenceEngine:
                 self.active, n_steps,
             )
         self.cur_tokens = out[:, -1]
-        tokens = np.asarray(out)  # one DtoH per block
-        for slot in range(self.max_slots):
-            seq = self.slots[slot]
-            if seq is None or not self.active[slot]:
+        seqs = [s if self.active[i] else None for i, s in enumerate(self.slots)]
+        prev, self._inflight = self._inflight, (out, n_steps, seqs)
+        if prev is not None:
+            self._process_block(*prev)
+        self.stats.decode_time_s += time.perf_counter() - t0
+
+    def _process_block(self, out, n_steps: int, seqs):
+        """Emit a decode block's tokens: one DtoH for the whole block, then
+        per-stream detok + queue puts. ``seqs`` is the slot snapshot at
+        dispatch — a slot whose occupant changed since (finish, abort) is
+        skipped."""
+        tokens = np.asarray(out)
+        for slot, seq in enumerate(seqs):
+            if seq is None or self.slots[slot] is not seq:
                 continue
             for j in range(n_steps):
                 if not self._emit(seq, int(tokens[slot, j])):
                     break
-        self.stats.decode_time_s += time.perf_counter() - t0
+
+    def _flush_inflight(self):
+        if self._inflight is not None:
+            t0 = time.perf_counter()
+            prev, self._inflight = self._inflight, None
+            self._process_block(*prev)
+            self.stats.decode_time_s += time.perf_counter() - t0
