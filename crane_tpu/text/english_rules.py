@@ -32,6 +32,13 @@ LITERALS = [
     ("ear", "ɪɹ"), ("eer", "ɪɹ"), ("ier", "ɪɹ"), ("air", "ɛɹ"),
     ("are", "ɛɹ"), ("ire", "aɪɹ"), ("ure", "jʊɹ"), ("ould", "ʊd"),
     ("ore", "ɔɹ"), ("ook", "ʊk"),
+    # CER-measured round-5 contexts (tests/test_g2p_cer.py history):
+    # "ose" = GOAT + voiced s (those/chose/close/nose; net win despite
+    # purpose-class misses), "alk" silent-l (talk/walk/chalk), "eir" =
+    # SQUARE (their/heirs), "all" = THOUGHT-l (all/ball/call/also), "uy"
+    # = PRICE (buy/guy)
+    ("ose", "oʊz"), ("alk", "ɔːk"), ("eir", "ɛɹ"), ("all", "ɔːl"),
+    ("uy", "aɪ"),
     ("ai", "eɪ"), ("ay", "eɪ"), ("au", "ɔː"), ("aw", "ɔː"), ("ea", "iː"),
     ("ee", "iː"), ("ei", "eɪ"), ("ey", "eɪ"), ("eu", "juː"), ("ew", "juː"),
     ("ie", "iː"), ("oa", "oʊ"), ("oe", "oʊ"), ("oi", "ɔɪ"), ("oy", "ɔɪ"),
@@ -64,11 +71,15 @@ VOWEL_PREFIXES = [
 _TH_VOICED = {
     "the", "this", "that", "they", "them", "then", "than", "there", "these",
     "those", "though", "thus", "thence", "thy", "thee", "thou", "thine",
-    "with", "within", "without",
+    "with", "within", "without", "theyre", "theirs", "theres",
 }
 
 _VOWELS = set("aeiouy")
-_VOWEL_IPA = set("æɛɪɔʊɑɒəɚɝɨʉː")
+# ʌ/u/i were missing until round 5 — their absence made
+# _contains_vowel_sound treat "hʌm"/"hu" as vowel-less, so the
+# silent-final-e rule never fired after a STRUT or GOOSE nucleus
+# (home -> hʌmɛ, whose -> husi); CER 0.1771 -> 0.1717 from ʌ alone
+_VOWEL_IPA = set("æɛɪɔʊɑɒəɚɝɨʉʌuiː")
 
 
 def _is_vowel(c: str) -> bool:
@@ -159,7 +170,12 @@ def _oov_vowel(w: str, i: int):
     if c == "e":
         if magic:
             return "iː", 1
-        return ("ɛ" if closed or i == len(w) - 1 else "iː"), 1
+        if i == len(w) - 1:
+            # a PRONOUNCED word-final e is the FLEECE vowel (he, she, be,
+            # we, me — this branch is only reached when the silent-final-e
+            # rule declined because no earlier vowel sound exists)
+            return "iː", 1
+        return ("ɛ" if closed else "iː"), 1
     if c in "iy":
         return ("aɪ" if magic else "ɪ" if closed else "aɪ"), 1
     if c == "o":
@@ -253,10 +269,16 @@ def _oov_grapheme_to_ipa(word: str) -> str:
             out.append("j")
             i += 1
             continue
-        # wh before o: the w is silent and the h sounds (who, whose, whole)
+        # wh before o: the w is silent and the h sounds (who, whose,
+        # whole); the pronoun stems themselves (who/whose/whom) take the
+        # GOOSE vowel while whole/wholly keep the o for the magic-e path
         if w.startswith("who", i):
-            out.append("h")
-            i += 2
+            if w[i + 3 :] in ("", "se", "m"):
+                out.append("hu")
+                i += 3
+            else:
+                out.append("h")
+                i += 2
             continue
         # ew/eu after a coronal is the plain long u (new = nu, not nju)
         if w.startswith("ew", i) or w.startswith("eu", i):
@@ -276,10 +298,13 @@ def _oov_grapheme_to_ipa(word: str) -> str:
             continue
         # word-initial unstressed a + single consonant + vowel (about,
         # again, along, away) reduces to schwa; clusters (after, angry)
-        # and aCC patterns keep the full vowel
+        # and aCC patterns keep the full vowel, and so does the aCe
+        # magic-e monosyllable (ate, age, ace) where the "vowel" at w[2]
+        # is the silent final e
         if (
             i == 0 and w[0] == "a" and n >= 3
             and _is_consonant(w[1]) and _is_vowel(w[2])
+            and not (n == 3 and w[2] == "e")
         ):
             out.append("ə")
             i += 1
@@ -295,6 +320,26 @@ def _oov_grapheme_to_ipa(word: str) -> str:
         # vowel guard)
         if w.startswith("er", i) and i + 2 == n and i > 0 and _is_consonant(w[i - 1]):
             out.append("ɚ")
+            i += 2
+            continue
+        # word-final unstressed -le after a consonant is the syllabic l
+        # (able, little, people) — CER-measured round 5
+        if (
+            w.startswith("le", i) and i + 2 == n and i > 0
+            and _is_consonant(w[i - 1])
+            and _contains_vowel_sound("".join(out))
+        ):
+            out.append("əl")
+            i += 2
+            continue
+        # word-final unstressed -en after a consonant reduces (open,
+        # seven, garden) — CER-measured round 5
+        if (
+            w.startswith("en", i) and i + 2 == n and i > 0
+            and _is_consonant(w[i - 1])
+            and _contains_vowel_sound("".join(out))
+        ):
+            out.append("ən")
             i += 2
             continue
         # word-initial u in an open syllable is the glide vowel (use, unit,
@@ -330,7 +375,9 @@ def _oov_grapheme_to_ipa(word: str) -> str:
                 out.append("aʊt" if w[max(0, i - 2) : i] == "dr" else "ɔːt")
                 i += 5
             else:
-                out.append("oʊ")
+                # through/throughout take GOOSE; other bare -ough stay GOAT
+                prev = w[i - 1] if i > 0 else ""
+                out.append("uː" if prev == "r" else "oʊ")
                 i += 4
             continue
         matched = False

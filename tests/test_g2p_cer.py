@@ -12,6 +12,12 @@ the equivalent harness. History on the 567-word seed-lexicon holdout
   + ould/ore/ook + o-contexts            0.1856
   + final-er schwar + initial-u glide    0.1773
   + -ation literal + secondary stress     0.1771
+  + STRUT/GOOSE/FLEECE in _VOWEL_IPA     0.1717
+  + ose/alk/eir/all/uy + th contractions 0.1638
+  + pronounced-final-e FLEECE            0.1563
+  + final -le/-en reduction              0.1508
+  + aCe guard / who=hu / through=GOOSE   0.1445
+  + u,i vowel-sound + theres             0.1435
 
 A rules change that regresses the bound must come with a measured
 justification (update the constant AND this table).
@@ -19,7 +25,7 @@ justification (update the constant AND this table).
 
 from crane_tpu.text.cer import cer, edit_distance, lts_cer
 
-CER_BOUND = 0.185  # current measured 0.1773 + slack for lexicon tweaks
+CER_BOUND = 0.15  # current measured 0.1435 + slack for lexicon tweaks
 
 
 def test_edit_distance_basics():

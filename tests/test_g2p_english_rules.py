@@ -123,10 +123,12 @@ class TestVowels:
         assert "ɚ" in hand_oov_rules_ipa("her")
         assert "ɚ" in hand_oov_rules_ipa("teacher")
 
-    def test_short_e_only_words_keep_vowel(self):
+    def test_pronounced_final_e_is_fleece(self):
+        # a word-final e that survives the silent-e rule (it's the only
+        # vowel) is FLEECE: he/be/she = hi/bi/ʃi in the lexicon
         for w in ("he", "be", "she"):
             ipa = hand_oov_rules_ipa(w)
-            assert "ɛ" in ipa, (w, ipa)
+            assert "iː" in ipa, (w, ipa)
 
     def test_soft_hard_c_g(self):
         assert "s" in hand_oov_rules_ipa("cell")
