@@ -327,9 +327,12 @@ def from_pretrained(
     tokenizer=None,
     quant_bits: int | None = None,
 ) -> CausalLM:
-    """Load a dense causal LM from an HF checkpoint directory."""
+    """Load a dense causal LM from an HF checkpoint directory or hub id
+    (hub fallback mirrors reference autotokenizer.rs:232-258)."""
     from crane_tpu.loaders.safetensors_loader import load_state_dict
+    from crane_tpu.utils.hub import resolve_checkpoint
 
+    model_dir = resolve_checkpoint(model_dir)
     hf = load_hf_config(model_dir)
     cfg = transformer_config_from_hf(hf)
     sd = load_state_dict(model_dir)

@@ -813,6 +813,11 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     quant_bits = {"q8": 8, "q4": 4}.get(args.quant)
+    # hub fallback (reference autotokenizer.rs:232-258): --model-path may be
+    # a repo id; resolve once so every downstream consumer sees a local dir
+    from crane_tpu.utils.hub import resolve_checkpoint
+
+    args.model_path = resolve_checkpoint(args.model_path)
     engine = backend = None
     if args.model_path.endswith(".gguf"):
         from crane_tpu.loaders.gguf_model import from_gguf

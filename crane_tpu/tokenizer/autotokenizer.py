@@ -104,8 +104,13 @@ class AutoTokenizer:
     # -- loading -------------------------------------------------------------
     @classmethod
     def from_pretrained(cls, model_dir: str) -> "AutoTokenizer":
+        """``model_dir`` may be a local directory or a hub repo id — the
+        hub fallback mirrors the reference (autotokenizer.rs:232-258)."""
         from tokenizers import Tokenizer
 
+        from crane_tpu.utils.hub import resolve_checkpoint
+
+        model_dir = resolve_checkpoint(model_dir)
         tok_path = os.path.join(model_dir, "tokenizer.json")
         if not os.path.exists(tok_path):
             raise FileNotFoundError(f"{tok_path} not found")
