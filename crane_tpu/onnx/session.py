@@ -459,9 +459,20 @@ class Session:
     """Evaluate a parsed Model eagerly. Op semantics follow the ONNX spec at
     the opsets the reference's production graphs use (11-18)."""
 
-    def __init__(self, model: Model):
+    def __init__(self, model: Model, *, optimize: bool = True):
         self.model = model
         self.graph = model.graph
+        self.report = None
+        if optimize:
+            # conservative graph simplification at build time (reference:
+            # onnx/optimizer/mod.rs — constant folding, alias/dead-node
+            # elimination, atan2 + Snake pattern fusion); folding evaluates
+            # with this session's own _eval, so values are identical
+            from crane_tpu.onnx.optimizer import optimize as _optimize
+
+            self.report = _optimize(
+                self.graph, lambda node, ins: self._eval(node, ins, {})
+            )
 
     @property
     def input_names(self) -> list:
@@ -520,6 +531,9 @@ class Session:
             "Sin": lambda: np.sin(x),
             "Cos": lambda: np.cos(x),
             "Atan": lambda: np.arctan(x),
+            # produced by the optimizer's atan2-decomposition fusion; no
+            # NaN at (0,0) unlike the Div->Atan->Where subgraph it replaces
+            "Atan2": lambda: np.arctan2(ins[0], ins[1]),
             "Erf": lambda: _erf(x).astype(np.asarray(x).dtype),
             "Sigmoid": lambda: _sigmoid(x),
             "Tanh": lambda: np.tanh(x),
@@ -557,7 +571,12 @@ class Session:
             ),
             "Where": lambda: np.where(ins[0], ins[1], ins[2]),
             "Identity": lambda: x,
-            "Dropout": lambda: x,
+            # inference mode: pass-through; the optional mask output is all
+            # ones (nothing dropped)
+            "Dropout": lambda: (
+                (x, np.ones(np.shape(x), np.bool_))
+                if len(node.outputs) > 1 else x
+            ),
             "Shape": lambda: np.asarray(
                 x.shape[a.get("start", 0): a["end"] if "end" in a else None],
                 np.int64,
