@@ -737,18 +737,20 @@ def bench_kernels() -> None:
         """median us per call via a scan-chained marginal (a single timed
         call would measure the tunnel RPC, not the kernel — see
         utils/timing.py). ``run_scalar(c)`` must fold the carry into its
-        input and return a scalar."""
-        @functools.partial(jax.jit, static_argnums=(0,))
+        input and return a scalar. The trip count is a RUNTIME argument
+        (fori_loop, not scan-with-static-length): every chain length shares
+        ONE compiled program, because each tunnel compile costs 20-40 s and
+        the marginal probes several lengths per kernel."""
+        @jax.jit
         def chain(n):
-            def body(c, _):
-                return run_scalar(c), None
-            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
-            return c
+            def body(_, c):
+                return run_scalar(c)
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
         def run(n):
-            host_sync(chain(4))
+            host_sync(chain(jnp.int32(4)))
             t0 = time.perf_counter()
-            host_sync(chain(n))
+            host_sync(chain(jnp.int32(n)))
             return time.perf_counter() - t0
 
         def marginal(a, b, trials):
